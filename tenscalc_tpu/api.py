@@ -1,0 +1,303 @@
+"""Problem-definition API — the generator layer (reference L5).
+
+:func:`optimize` is the TPU-native analog of ``cmex2optimizeCS`` /
+``class2optimizeCS`` (lib/cmex2optimizeCS.m:10-24): it takes a symbolic
+objective, optimization variables, constraints, parameters and output
+expressions, and returns a solver object whose ``solve`` method runs the
+compiled primal-dual IPM.  Where the reference generates and compiles C
+code per problem (taking 10-200 s, README.md:104-109), here "generation"
+is a jit trace: the first solve compiles, later solves hit the XLA
+executable cache — and the compiled solve can additionally be vmapped
+over batches of parameter values and sharded over device meshes.
+
+:func:`minmax` ↔ cmex2minmaxCS, :func:`equilibrium` ↔
+cmex2equilibriumLatentCS, :func:`compute` ↔ cmex2compute.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, List, Mapping, Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .expr import Constraint, Expr, Variable
+from .ipm.options import SolverOptions
+from .ipm.solver import IPMFunctions, IPMResult, build_ipm
+from .ipm.status import describe_status
+from .pack import Packing
+
+
+def _ensure_x64(opts: SolverOptions) -> None:
+    if opts.dtype == "float64" and not jax.config.jax_enable_x64:
+        jax.config.update("jax_enable_x64", True)
+
+
+def _split_constraints(constraints) -> tuple[list[Expr], list[Expr]]:
+    """Split into (F >= 0 list, G == 0 list)
+    (reference: lib/private/parseConstraints.m:74-135)."""
+    Fs: list[Expr] = []
+    Gs: list[Expr] = []
+    for c in constraints or []:
+        if not isinstance(c, Constraint):
+            raise TypeError(
+                f"constraints must be built with >=, <= or == on Expr; got {c!r}"
+            )
+        (Fs if c.kind == "ineq" else Gs).append(c.expr)
+    return Fs, Gs
+
+
+def _stack_eval(exprs: Sequence[Expr], env) -> jax.Array:
+    if not exprs:
+        return jnp.zeros((0,))
+    return jnp.concatenate([jnp.ravel(e(env)) for e in exprs])
+
+
+@dataclasses.dataclass
+class Solution:
+    """Result of one solve (analog of the reference's
+    [status,iter,time]=solve(...) plus getOutputs)."""
+
+    status: int
+    iters: int
+    outputs: Dict[str, Any]
+    # solver internals
+    variables: Dict[str, Any]
+    mu: float
+    norminf_grad: float
+    norminf_eq: float
+    gap: float
+    objective: float
+    lam: Any
+    nu: Any
+    time: float = 0.0
+
+    @property
+    def ok(self) -> bool:
+        return int(self.status) == 0
+
+    def describe(self) -> str:
+        return describe_status(int(self.status))
+
+
+class OptimizeSolver:
+    """A compiled constrained-minimization solver instance.
+
+    Mirrors the generated class from cmex2optimizeCS: parameter sets
+    (``setP_*``) become entries of the ``parameters`` dict, primal
+    initialization (``setV_*``) becomes ``init``, and
+    ``outputExpressions`` are evaluated at the optimum.
+    """
+
+    def __init__(
+        self,
+        objective: Expr,
+        optimizationVariables: Sequence[Variable],
+        constraints: Sequence[Constraint] = (),
+        parameters: Sequence[Variable] = (),
+        outputExpressions: Optional[Mapping[str, Expr]] = None,
+        options: Optional[SolverOptions] = None,
+        **option_kwargs,
+    ):
+        self.opts = (options or SolverOptions()).replace(**option_kwargs)
+        _ensure_x64(self.opts)
+        dt = self.opts.np_dtype
+
+        self.variables = list(optimizationVariables)
+        self.parameters = list(parameters)
+        self.objective = objective
+        self.outputExpressions = dict(outputExpressions or {})
+        self.packing = Packing(self.variables)
+
+        F_exprs, G_exprs = _split_constraints(constraints)
+        self.nU = self.packing.total
+        self.nF = int(sum(e.size for e in F_exprs))
+        self.nG = int(sum(e.size for e in G_exprs))
+
+        param_names = {p.name for p in self.parameters}
+        var_names = set(self.packing.names)
+        # validate dependencies (analog of checkParameters.m)
+        for e in [objective] + F_exprs + G_exprs:
+            extra = e.deps - param_names - var_names
+            if extra:
+                raise ValueError(
+                    f"expression depends on undeclared symbols {sorted(extra)}; "
+                    "declare them as parameters or optimization variables"
+                )
+
+        packing = self.packing
+
+        def f_fn(u, penv):
+            env = {**penv, **packing.unpack(u)}
+            return jnp.asarray(objective(env), dt).reshape(())
+
+        def F_fn(u, penv):
+            env = {**penv, **packing.unpack(u)}
+            return _stack_eval(F_exprs, env).astype(dt)
+
+        def G_fn(u, penv):
+            env = {**penv, **packing.unpack(u)}
+            return _stack_eval(G_exprs, env).astype(dt)
+
+        self._fns = IPMFunctions(f=f_fn, F=F_fn, G=G_fn)
+        self._solve_raw = build_ipm(
+            self._fns, self.nU, self.nF, self.nG, self.opts
+        )
+        self._solve_jit = jax.jit(self._solve_raw)
+
+    # -- parameter/init handling --------------------------------------
+    def _param_env(self, parameters: Optional[Mapping[str, Any]]):
+        parameters = dict(parameters or {})
+        dt = self.opts.np_dtype
+        env = {}
+        for p in self.parameters:
+            if p.name not in parameters:
+                raise ValueError(f"missing parameter {p.name!r}")
+            v = jnp.asarray(parameters[p.name], dt)
+            if tuple(v.shape) != p.shape:
+                raise ValueError(
+                    f"parameter {p.name!r}: expected shape {p.shape}, got {tuple(v.shape)}"
+                )
+            env[p.name] = v
+        extra = set(parameters) - set(env)
+        if extra:
+            raise ValueError(f"unknown parameters {sorted(extra)}")
+        return env
+
+    def _pack_init(self, init: Optional[Mapping[str, Any]]):
+        init = dict(init or {})
+        dt = self.opts.np_dtype
+        env = {}
+        for v in self.variables:
+            env[v.name] = jnp.asarray(init.get(v.name, jnp.zeros(v.shape)), dt)
+        return self.packing.pack(env, dtype=dt)
+
+    # -- solving -------------------------------------------------------
+    def solve(
+        self,
+        parameters: Optional[Mapping[str, Any]] = None,
+        init: Optional[Mapping[str, Any]] = None,
+        mu0: float = 1.0,
+        max_iter: Optional[int] = None,
+        addEye2Hessian: tuple[float, float] = (1e-9, 1e-9),
+    ) -> Solution:
+        import time as _time
+
+        penv = self._param_env(parameters)
+        u0 = self._pack_init(init)
+        t0 = _time.perf_counter()
+        res: IPMResult = self._solve_jit(
+            u0, penv, mu0, self.opts.maxIter if max_iter is None else max_iter,
+            addEye2Hessian[0], addEye2Hessian[1],
+        )
+        res = jax.tree.map(lambda x: x.block_until_ready(), res)
+        elapsed = _time.perf_counter() - t0
+        return self._make_solution(res, penv, elapsed)
+
+    def solve_result(self, parameters=None, init=None, mu0=1.0,
+                     max_iter=None, addEye2Hessian=(1e-9, 1e-9)) -> IPMResult:
+        """Raw jitted solve returning device arrays (no host sync) —
+        building block for batched/sharded solving."""
+        penv = self._param_env(parameters)
+        u0 = self._pack_init(init)
+        return self._solve_jit(
+            u0, penv, mu0, self.opts.maxIter if max_iter is None else max_iter,
+            addEye2Hessian[0], addEye2Hessian[1],
+        )
+
+    def _make_solution(self, res: IPMResult, penv, elapsed: float) -> Solution:
+        var_env = self.packing.unpack(res.u)
+        out_env = {**penv, **var_env, **self._internal_env(res)}
+        outputs = {
+            name: np.asarray(e(out_env)) if isinstance(e, Expr) else e
+            for name, e in self.outputExpressions.items()
+        }
+        return Solution(
+            status=int(res.status),
+            iters=int(res.iters),
+            outputs=outputs,
+            variables={k: np.asarray(v) for k, v in var_env.items()},
+            mu=float(res.mu),
+            norminf_grad=float(res.norminf_grad),
+            norminf_eq=float(res.norminf_eq),
+            gap=float(res.gap),
+            objective=float(res.f),
+            lam=np.asarray(res.lam),
+            nu=np.asarray(res.nu),
+            time=elapsed,
+        )
+
+    def _internal_env(self, res: IPMResult):
+        """Solver internals exposed to outputExpressions, mirroring the
+        reference's special variables (lambda_, nu_, mu_, ... —
+        lib/cmex2optimizeCS.m outputExpressions docs)."""
+        return {
+            "lambda_": res.lam,
+            "nu_": res.nu,
+            "mu_": res.mu,
+            "status_": res.status,
+            "iter_": res.iters,
+        }
+
+
+def optimize(
+    objective: Expr,
+    optimizationVariables: Sequence[Variable],
+    constraints: Sequence[Constraint] = (),
+    parameters: Sequence[Variable] = (),
+    outputExpressions: Optional[Mapping[str, Expr]] = None,
+    options: Optional[SolverOptions] = None,
+    **option_kwargs,
+) -> OptimizeSolver:
+    """Create a constrained-minimization solver
+    (reference: cmex2optimizeCS / class2optimizeCS)."""
+    return OptimizeSolver(
+        objective,
+        optimizationVariables,
+        constraints,
+        parameters,
+        outputExpressions,
+        options,
+        **option_kwargs,
+    )
+
+
+def minmax(*args, **kwargs):
+    from .ipm.minmax import MinMaxSolver
+
+    return MinMaxSolver(*args, **kwargs)
+
+
+def equilibrium(*args, **kwargs):
+    from .ipm.equilibrium import EquilibriumSolver
+
+    return EquilibriumSolver(*args, **kwargs)
+
+
+class ComputeFunction:
+    """Compiled evaluation of a set of expressions — the analog of
+    cmex2compute/class2compute (lib/cmex2compute.m:10-17): declare inputs
+    (sets), get outputs, all fused in one jitted function."""
+
+    def __init__(self, inputs: Sequence[Variable], outputs: Mapping[str, Expr]):
+        self.inputs = list(inputs)
+        self.outputs = dict(outputs)
+        names = [v.name for v in self.inputs]
+
+        def run(env):
+            return {k: e(env) for k, e in self.outputs.items()}
+
+        self._jit = jax.jit(run)
+        self._names = names
+
+    def __call__(self, **values):
+        missing = set(self._names) - set(values)
+        if missing:
+            raise ValueError(f"missing inputs {sorted(missing)}")
+        return self._jit({k: jnp.asarray(v) for k, v in values.items()})
+
+
+def compute(inputs: Sequence[Variable], outputs: Mapping[str, Expr]) -> ComputeFunction:
+    return ComputeFunction(inputs, outputs)

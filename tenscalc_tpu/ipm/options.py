@@ -1,0 +1,104 @@
+"""Solver option catalog.
+
+The static/dynamic split mirrors the reference's compile-time ``#define``
+vs runtime-argument distinction: everything in :class:`SolverOptions` is
+static (jit-specialized, like the defines emitted at
+lib/cmex2optimizeCS.m:303-331 from lib/private/parameters4all.m /
+parameters4optimize.m), while ``mu0``, ``maxIter`` and the initial
+``addEye2Hessian`` values stay runtime inputs of ``solve()`` exactly as in
+lib/ipmPD_CSsolver.c:132-141.
+
+Defaults replicate the reference's defaults (lib/private/parameters4all.m:
+gradTolerance=1e-4, equalTolerance=1e-4, desiredDualityGap=1e-5,
+maxIter=200, muFactorAggressive=.2, muFactorConservative=.95,
+skipAffine=true, delta=3, alphaMin=1e-7, alphaMax=1, coupledAlphas=true;
+parameters4optimize.m: addEye2Hessian=true, adjustAddEye2Hessian=true,
+useInertia=false, addEye2HessianUtolerance=1e-6, smallerNewtonMatrix=false).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverOptions:
+    # -- exit tolerances (parameters4all.m:45-62) ----------------------
+    gradTolerance: float = 1e-4
+    equalTolerance: float = 1e-4
+    desiredDualityGap: float = 1e-5
+    maxIter: int = 200
+
+    # -- scaling (parameters4all.m:96-106) -----------------------------
+    scaleInequalities: bool = True
+    scaleCost: float = 0.0
+    scaleEqualities: bool = False  # accepted but unused, as in reference
+
+    # -- mu schedule (parameters4all.m:131-199) ------------------------
+    muFactorAggressive: float = 0.2
+    muFactorConservative: float = 0.95
+    skipAffine: bool = True
+    delta: int = 3  # sigma = rho^delta, delta in {2,3}
+    alphaMin: float = 1e-7
+    alphaMax: float = 1.0
+    coupledAlphas: bool = True
+
+    # -- Newton matrix / factorization (parameters4optimize.m) ---------
+    smallerNewtonMatrix: bool = False
+    useLDL: bool = True
+    addEye2Hessian: bool = True
+    adjustAddEye2Hessian: bool = True
+    useInertia: bool = False
+    addEye2HessianUtolerance: float = 1e-6
+    # variant: 'timesLambda' (reference default, ipmPD_CStimesLambda.m),
+    # or 'standard' (ipmPD_CS.m large/small Newton matrix)
+    variant: str = "timesLambda"
+
+    # -- regularization adaptation constants (ipmPD_CSsolver.c:145-148) -
+    addEye2HessianMIN: float = 1e-20
+    addEye2HessianMAX: float = 1e2
+    maxDirectionError: float = 1e-6
+
+    # -- numerics ------------------------------------------------------
+    dtype: str = "float64"  # IPM conditioning ~1/mu needs f64 on TPU
+    ldl_block: int = 64
+    # KKT backend: 'dense' or 'tridiag' (block-tridiagonal+arrow
+    # structured elimination for MPC horizons); 'auto' picks by structure
+    kkt_backend: str = "dense"
+    # number of line-search trial alphas evaluated in one batched sweep
+    # (replaces the reference's sequential backtracking get/set loop,
+    # lib/ipmPD_CSsolver.c:690-756)
+    linesearch_points: int = 32
+
+    # -- diagnostics ---------------------------------------------------
+    verboseLevel: int = 0
+    profiling: bool = False
+
+    def __post_init__(self):
+        if self.delta not in (2, 3):
+            raise ValueError("delta must be 2 or 3 (parameters4all.m:171)")
+        if self.variant not in ("timesLambda", "standard"):
+            raise ValueError("variant must be 'timesLambda' or 'standard'")
+        if self.variant == "timesLambda":
+            # same restrictions the reference enforces
+            # (ipmPD_CStimesLambda.m:34-48)
+            if self.smallerNewtonMatrix:
+                raise ValueError(
+                    "variant='timesLambda' requires smallerNewtonMatrix=False"
+                )
+            if not self.skipAffine:
+                raise ValueError("variant='timesLambda' requires skipAffine=True")
+            if not self.useLDL:
+                raise ValueError("variant='timesLambda' requires useLDL=True")
+        if self.kkt_backend not in ("dense", "tridiag", "auto"):
+            raise ValueError("kkt_backend must be dense|tridiag|auto")
+
+    @property
+    def np_dtype(self):
+        return jnp.dtype(self.dtype)
+
+    def replace(self, **kw) -> "SolverOptions":
+        return dataclasses.replace(self, **kw)

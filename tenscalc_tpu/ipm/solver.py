@@ -1,0 +1,748 @@
+"""Primal-dual interior-point method compiled end-to-end under jit.
+
+This module is the TPU-native fusion of two reference layers:
+
+* the symbolic IPM formulation — KKT assembly, Newton direction,
+  fraction-to-boundary quantities (lib/ipmPD_CStimesLambda.m for the
+  default multiplicative-lambda variant, lib/ipmPD_CS.m for the
+  standard large/small Newton-matrix variants), and
+* the compiled driver loop (lib/ipmPD_CSsolver.c): exit tests, adaptive
+  ``addEye2Hessian`` with curvature/inertia + direction-error gating,
+  optional Mehrotra affine step with sigma = rho^delta, backtracking
+  fraction-to-boundary line search with stepback=0.99 and the
+  ineq1 > ineq/10 re-check, aggressive/conservative/stall mu updates,
+  and the status bitmask.
+
+Where the reference's loop issues one ``get*``/``set*`` call at a time
+into generated C (each lazily recomputing stale dependency groups), here
+the entire iteration is one traced JAX program: the KKT factorization is
+a blocked LDL^T, and the sequential backtracking line search becomes a
+*batched* evaluation of min F(u + alpha dU) over a geometric alpha grid
+(vmapped), followed by the same acceptance logic applied with masks.
+The semantics (which alpha gets accepted) match the C loop exactly.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..kkt.dense import ldl_factor, ldl_inertia, ldl_solve
+from .options import SolverOptions
+
+STEPBACK = 0.99  # reference: stepback=.99, lib/ipmPD_CSsolver.c:174
+
+
+class IPMFunctions(NamedTuple):
+    """Problem callables: all take the packed primal vector u plus a
+    parameter env (pytree) and return jnp arrays."""
+
+    f: Callable  # (u, penv) -> scalar objective
+    F: Callable  # (u, penv) -> (nF,) inequality constraints (>= 0)
+    G: Callable  # (u, penv) -> (nG,) equality residuals (== 0)
+
+
+class IPMState(NamedTuple):
+    u: jax.Array
+    nu: jax.Array
+    lam: jax.Array
+    mu: jax.Array
+    addU: jax.Array       # regularization currently applied
+    addEq: jax.Array
+    addU_next: jax.Array  # delayed update, applied at next iteration start
+    addEq_next: jax.Array
+    alphaPrimal: jax.Array
+    alphaDualIneq: jax.Array
+    alphaDualEq: jax.Array
+    status: jax.Array     # int32 bitmask
+    it: jax.Array         # int32
+    done: jax.Array       # bool
+
+
+class IPMResult(NamedTuple):
+    u: jax.Array
+    nu: jax.Array
+    lam: jax.Array
+    mu: jax.Array
+    status: jax.Array
+    iters: jax.Array
+    norminf_grad: jax.Array
+    norminf_eq: jax.Array
+    gap: jax.Array
+    f: jax.Array
+    addU: jax.Array
+    addEq: jax.Array
+
+
+class Direction(NamedTuple):
+    dU: jax.Array
+    dNu: jax.Array
+    dLambda: jax.Array
+    derr: jax.Array       # ||WW dx - b||_inf
+    curvature: jax.Array  # dU' WW11 dU
+    mp: jax.Array         # positive inertia count
+    mn: jax.Array         # negative inertia count
+    dU_a: jax.Array       # affine direction (zeros when skipAffine)
+    dLambda_a: jax.Array
+
+
+def _norminf(x):
+    return jnp.max(jnp.abs(x)) if x.shape[0] > 0 else jnp.zeros((), x.dtype)
+
+
+def _clp(x, dx):
+    """max{alpha >= 0 : x + alpha dx >= 0}, x > 0 (lib/clp.m)."""
+    if x.shape[0] == 0:
+        return jnp.asarray(jnp.inf, x.dtype)
+    ratio = jnp.where(dx < 0, -x / jnp.where(dx < 0, dx, -1.0), jnp.inf)
+    return jnp.min(ratio)
+
+
+def build_ipm(
+    fns: IPMFunctions,
+    nU: int,
+    nF: int,
+    nG: int,
+    opts: SolverOptions,
+    kkt_solver=None,
+):
+    """Build the jittable ``solve`` function for a problem instance.
+
+    ``kkt_solver`` optionally overrides the dense KKT backend with a
+    structured one (block-tridiagonal / arrow) exposing the same
+    ``factor(WW_blocks) -> solve/derr/inertia`` contract.
+    """
+    dt = opts.np_dtype
+    variant = opts.variant
+    small = opts.smallerNewtonMatrix
+    nK = nU + nG + (0 if small else nF)
+
+    # desired inertia (lib/ipmPD_CSsolver.c:164-169)
+    mp_desired = float(nU)
+    mn_desired = float(nG if small else nF + nG)
+
+    I_U = jnp.eye(nU, dtype=dt)
+    I_G = jnp.eye(nG, dtype=dt)
+
+    # ------------------------------------------------------------------
+    # scaled problem functions
+    # ------------------------------------------------------------------
+    def scaled_fns(penv, scale_ineq, scale_cost):
+        def fs(u):
+            return scale_cost * fns.f(u, penv)
+
+        def Fs(u):
+            if nF == 0:
+                return jnp.zeros((0,), dt)
+            return scale_ineq * fns.F(u, penv)
+
+        def Gs(u):
+            if nG == 0:
+                return jnp.zeros((0,), dt)
+            return fns.G(u, penv)
+
+        def lagrangian(u, nu, lam):
+            val = fs(u)
+            if nF > 0:
+                val = val - lam @ Fs(u)
+            if nG > 0:
+                val = val + nu @ Gs(u)
+            return val
+
+        return fs, Fs, Gs, lagrangian
+
+    # ------------------------------------------------------------------
+    # KKT assembly + direction (the formulation layer)
+    # ------------------------------------------------------------------
+    def compute_direction(u, nu, lam, mu, addU, addEq, penv, scale_ineq, scale_cost):
+        fs, Fs, Gs, lagr = scaled_fns(penv, scale_ineq, scale_cost)
+        grad_u = jax.grad(lagr, argnums=0)(u, nu, lam)
+        H = jax.jacfwd(jax.grad(lagr, argnums=0), argnums=0)(u, nu, lam)
+        H = 0.5 * (H + H.T)  # symmetrize AD jitter
+        Fu = jax.jacfwd(Fs)(u) if nF > 0 else jnp.zeros((0, nU), dt)
+        Gu = jax.jacfwd(Gs)(u) if nG > 0 else jnp.zeros((0, nU), dt)
+        Fval = Fs(u)
+        Gval = Gs(u)
+        f_u = jax.grad(fs)(u)
+
+        WW11 = H + addU * I_U
+
+        if small:
+            # condensed system (lib/ipmPD_CS.m:254-361): eliminate dLambda
+            muF = mu / Fval if nF > 0 else jnp.zeros((0,), dt)
+            LPG = (lam / Fval)[:, None] * Fu if nF > 0 else jnp.zeros((0, nU), dt)
+            WWc = WW11 + (Fu.T @ LPG if nF > 0 else 0.0)
+            WW = jnp.concatenate(
+                [
+                    jnp.concatenate([WWc, Gu.T], axis=1),
+                    jnp.concatenate([Gu, -addEq * I_G], axis=1),
+                ],
+                axis=0,
+            )
+            r1 = -f_u - (Gu.T @ nu if nG > 0 else 0.0) + (Fu.T @ muF if nF > 0 else 0.0)
+            b = jnp.concatenate([r1, -Gval])
+            L, d = _factor(WW)
+            if not opts.skipAffine:
+                b_a = jnp.concatenate(
+                    [-f_u - (Gu.T @ nu if nG > 0 else 0.0), -Gval]
+                )
+                dx_a = ldl_solve(L, d, b_a)
+                dU_a = dx_a[:nU]
+                dLambda_a = (
+                    -LPG @ dU_a - lam if nF > 0 else jnp.zeros((0,), dt)
+                )
+                # Mehrotra correction (lib/ipmPD_CS.m:319-322)
+                Meh = (Fu @ dU_a) * dLambda_a / Fval if nF > 0 else jnp.zeros((0,), dt)
+                b = b.at[:nU].add(-(Fu.T @ Meh) if nF > 0 else 0.0)
+            dx = ldl_solve(L, d, b)
+            dU = dx[:nU]
+            dNu = dx[nU:]
+            if nF > 0:
+                dLambda = muF - LPG @ dU - lam
+                if not opts.skipAffine:
+                    dLambda = dLambda - Meh
+            else:
+                dLambda = jnp.zeros((0,), dt)
+            if opts.skipAffine:
+                dU_a = jnp.zeros((nU,), dt)
+                dLambda_a = jnp.zeros((nF,), dt)
+        else:
+            if variant == "timesLambda":
+                # multiplicative-lambda KKT (ipmPD_CStimesLambda.m:235-252)
+                row1 = jnp.concatenate(
+                    [WW11, Gu.T, -(Fu.T * lam[None, :])], axis=1
+                )
+                row2 = jnp.concatenate(
+                    [Gu, -addEq * I_G, jnp.zeros((nG, nF), dt)], axis=1
+                )
+                row3 = jnp.concatenate(
+                    [
+                        -(lam[:, None] * Fu),
+                        jnp.zeros((nF, nG), dt),
+                        -jnp.diag(Fval * lam),
+                    ],
+                    axis=1,
+                )
+                WW = jnp.concatenate([row1, row2, row3], axis=0)
+                b = jnp.concatenate([-grad_u, -Gval, lam * Fval - mu * jnp.ones((nF,), dt)])
+                L, d = _factor(WW)
+                dx = ldl_solve(L, d, b)
+                dU_a = jnp.zeros((nU,), dt)
+                dLambda_a = jnp.zeros((nF,), dt)
+            else:
+                # standard large matrix (ipmPD_CS.m:362-434)
+                row1 = jnp.concatenate([WW11, Gu.T, -Fu.T], axis=1)
+                row2 = jnp.concatenate(
+                    [Gu, -addEq * I_G, jnp.zeros((nG, nF), dt)], axis=1
+                )
+                row3 = jnp.concatenate(
+                    [-Fu, jnp.zeros((nF, nG), dt), -jnp.diag(Fval / lam) if nF > 0 else jnp.zeros((0, 0), dt)],
+                    axis=1,
+                )
+                WW = jnp.concatenate([row1, row2, row3], axis=0)
+                L, d = _factor(WW)
+                if opts.skipAffine:
+                    b = jnp.concatenate(
+                        [-grad_u, -Gval, Fval - mu / lam if nF > 0 else jnp.zeros((0,), dt)]
+                    )
+                    dU_a = jnp.zeros((nU,), dt)
+                    dLambda_a = jnp.zeros((nF,), dt)
+                else:
+                    b_a = jnp.concatenate([-grad_u, -Gval, Fval])
+                    dx_a = ldl_solve(L, d, b_a)
+                    dU_a = dx_a[:nU]
+                    dLambda_a = dx_a[nU + nG:]
+                    corr = (
+                        (Fu @ dU_a) * dLambda_a / lam - mu / lam
+                        if nF > 0
+                        else jnp.zeros((0,), dt)
+                    )
+                    b = jnp.concatenate([-grad_u, -Gval, Fval + corr])
+                dx = ldl_solve(L, d, b)
+            dU = dx[:nU]
+            dNu = dx[nU : nU + nG]
+            dLambda = dx[nU + nG :]
+
+        derr = _norminf(WW @ dx - b)
+        curvature = dU @ (WW11 @ dU)
+        mp, mn = ldl_inertia(d)
+        return Direction(dU, dNu, dLambda, derr, curvature, mp, mn, dU_a, dLambda_a), (
+            grad_u,
+            Fu,
+            Fval,
+            Gval,
+        )
+
+    def _factor(WW):
+        if kkt_solver is not None:
+            return kkt_solver(WW)
+        return ldl_factor(WW, block=opts.ldl_block)
+
+    # ------------------------------------------------------------------
+    # batched backtracking line search (lib/ipmPD_CSsolver.c:679-756)
+    # ------------------------------------------------------------------
+    def line_search_s(minF_of_alpha, alpha_bt):
+        """Combined-direction search.  ``alpha_bt`` is alphaMax_ =
+        min(stepback*maxAlpha, opts.alphaMax).  Returns (alpha, nan_fail).
+        """
+        s = STEPBACK
+        K = opts.linesearch_points
+        a1 = alpha_bt / s
+        grid = alpha_bt * 0.95 / (2.0 ** jnp.arange(K, dtype=dt))
+        cands = jnp.concatenate([jnp.array([a1, opts.alphaMin / s], dtype=dt), grid])
+        vals = jax.vmap(minF_of_alpha)(cands)
+        vals_sb = jax.vmap(minF_of_alpha)(cands * s)
+        ineq_a1, ineq_min = vals[0], vals[1]
+        ineq1_a1 = vals_sb[0]
+        nan_fail = jnp.isnan(ineq_a1)
+        accept_max = (ineq_a1 > 0) & (ineq1_a1 > ineq_a1 / 10.0)
+        gv, gs = vals[2:], vals_sb[2:]
+        ok = (gv > 0) & (gs > gv / 10.0) & (grid >= opts.alphaMin)
+        has = jnp.any(ok)
+        first = jnp.argmax(ok)
+        grid_alpha = jnp.where(has, grid[first] * s, 0.0)
+        alpha_else = jnp.where(ineq_min > 0, grid_alpha, 0.0)
+        alpha = jnp.where(accept_max, a1 * s, alpha_else)
+        alpha = jnp.where(alpha_bt >= opts.alphaMin, alpha, 0.0)
+        return alpha.astype(dt), nan_fail
+
+    def line_search_a(minF_of_alpha, alpha_max_):
+        """Affine-direction search (lib/ipmPD_CSsolver.c:583-631)."""
+        K = opts.linesearch_points
+        grid = alpha_max_ * 0.95 / (2.0 ** jnp.arange(K, dtype=dt))
+        cands = jnp.concatenate(
+            [jnp.array([alpha_max_, opts.alphaMin], dtype=dt), grid]
+        )
+        vals = jax.vmap(minF_of_alpha)(cands)
+        ok_max = vals[0] >= 0
+        ok_min = vals[1] > 0
+        ok = (vals[2:] >= 0) & (grid >= opts.alphaMin)
+        has = jnp.any(ok)
+        first = jnp.argmax(ok)
+        grid_alpha = jnp.where(has, grid[first], 0.0)
+        alpha = jnp.where(ok_max, alpha_max_, jnp.where(ok_min, grid_alpha, 0.0))
+        alpha = jnp.where(alpha_max_ >= opts.alphaMin, alpha, 0.0)
+        return alpha.astype(dt)
+
+    # ------------------------------------------------------------------
+    # the driver loop
+    # ------------------------------------------------------------------
+    def solve(
+        u0,
+        penv,
+        mu0=1.0,
+        max_iter: Optional[int] = None,
+        addU0=1e-9,
+        addEq0=1e-9,
+    ) -> IPMResult:
+        max_iter_v = jnp.asarray(
+            opts.maxIter if max_iter is None else max_iter, jnp.int32
+        )
+        u0 = jnp.asarray(u0, dt)
+        mu0 = jnp.asarray(mu0, dt)
+        addU0 = jnp.asarray(addU0 if opts.addEye2Hessian else 0.0, dt)
+        addEq0 = jnp.asarray(addEq0 if opts.addEye2Hessian else 0.0, dt)
+
+        # scaling factors, computed once at the initial point
+        # (scaleIneq__/scaleCost__ copies, ipmPD_CStimesLambda.m:86-103)
+        if nF > 0 and opts.scaleInequalities:
+            scale_ineq = jnp.abs(1.0 / fns.F(u0, penv)).astype(dt)
+        else:
+            scale_ineq = jnp.ones((nF,), dt)
+        if opts.scaleCost > 0:
+            scale_cost = jnp.abs(opts.scaleCost / fns.f(u0, penv)).astype(dt)
+        else:
+            scale_cost = jnp.ones((), dt)
+
+        fs, Fs, Gs, lagr = scaled_fns(penv, scale_ineq, scale_cost)
+
+        desired_gap = jnp.where(
+            opts.scaleCost > 0,
+            opts.desiredDualityGap * scale_cost,
+            jnp.asarray(opts.desiredDualityGap, dt),
+        )
+        mu_min = desired_gap / max(nF, 1) / 2.0
+
+        # dual initialization (initDualIneq__ / initDualEqX__)
+        lam0 = mu0 / Fs(u0) if nF > 0 else jnp.zeros((0,), dt)
+        if nG > 0:
+            # least-squares nu init (ipmPD_CStimesLambda.m:212-217)
+            Gu0 = jax.jacfwd(Gs)(u0)
+            Fu0 = jax.jacfwd(Fs)(u0) if nF > 0 else jnp.zeros((0, nU), dt)
+            f_u0 = jax.grad(fs)(u0)
+            WW0 = jnp.concatenate(
+                [
+                    jnp.concatenate([I_U, Gu0.T], axis=1),
+                    jnp.concatenate([Gu0, -addEq0 * I_G], axis=1),
+                ],
+                axis=0,
+            )
+            b0 = jnp.concatenate(
+                [(Fu0.T @ lam0 if nF > 0 else 0.0) - f_u0, jnp.zeros((nG,), dt)]
+            )
+            L0f, d0f = ldl_factor(WW0, block=opts.ldl_block)
+            nu0 = ldl_solve(L0f, d0f, b0)[nU:]
+        else:
+            nu0 = jnp.zeros((0,), dt)
+
+        state0 = IPMState(
+            u=u0,
+            nu=nu0,
+            lam=lam0,
+            mu=mu0,
+            addU=addU0,
+            addEq=addEq0,
+            addU_next=addU0,
+            addEq_next=addEq0,
+            alphaPrimal=jnp.zeros((), dt),
+            alphaDualIneq=jnp.zeros((), dt),
+            alphaDualEq=jnp.zeros((), dt),
+            status=jnp.zeros((), jnp.int32),
+            it=jnp.zeros((), jnp.int32),
+            done=jnp.asarray(False),
+        )
+
+        def exit_metrics(st: IPMState):
+            grad_u = jax.grad(lagr, argnums=0)(st.u, st.nu, st.lam)
+            norminf_grad = _norminf(grad_u)
+            Gval = Gs(st.u)
+            norminf_eq = _norminf(Gval)
+            Fval = Fs(st.u)
+            if nF > 0:
+                gap = st.lam @ Fval
+                ineq = jnp.min(Fval)
+                dual = jnp.min(st.lam)
+            else:
+                gap = jnp.zeros((), dt)
+                ineq = jnp.asarray(jnp.inf, dt)
+                dual = jnp.asarray(jnp.inf, dt)
+            return norminf_grad, norminf_eq, gap, ineq, dual
+
+        def body(st: IPMState) -> IPMState:
+            it = st.it + 1
+            # apply delayed regularization updates
+            # (lib/ipmPD_CSsolver.c:396-405)
+            addU = st.addU_next
+            addEq = st.addEq_next
+
+            norminf_grad, norminf_eq, gap, ineq, dual = exit_metrics(st)
+
+            # exit tests (lib/ipmPD_CSsolver.c:308-381)
+            status = jnp.zeros((), jnp.int32)
+            fail_maxiter = it > max_iter_v
+            status = jnp.where(fail_maxiter, 8, status)
+            fail_nan = jnp.isnan(norminf_grad)
+            status = jnp.where(fail_nan & (status == 0), 4, status)
+            fail_ineq = jnp.asarray(False) if nF == 0 else (ineq <= 0)
+            status = jnp.where(fail_ineq & (status == 0), 1, status)
+            fail_dual = jnp.asarray(False) if nF == 0 else (dual <= 0)
+            status = jnp.where(fail_dual & (status == 0), 2, status)
+
+            converged = norminf_grad <= opts.gradTolerance
+            if nF > 0:
+                converged &= gap <= desired_gap
+            if nG > 0:
+                converged &= norminf_eq <= opts.equalTolerance
+            if opts.addEye2Hessian and opts.adjustAddEye2Hessian:
+                converged &= addU <= opts.addEye2HessianUtolerance
+            early_exit = fail_maxiter | fail_nan | fail_ineq | fail_dual | converged
+
+            def run_iteration(_):
+                return _iterate(
+                    st._replace(it=it, addU=addU, addEq=addEq),
+                    norminf_grad,
+                    norminf_eq,
+                    gap,
+                )
+
+            def stop(_):
+                return st._replace(
+                    it=it,
+                    addU=addU,
+                    addEq=addEq,
+                    addU_next=addU,
+                    addEq_next=addEq,
+                    status=status,
+                    done=jnp.asarray(True),
+                )
+
+            return lax.cond(early_exit, stop, run_iteration, None)
+
+        def _iterate(st: IPMState, norminf_grad, norminf_eq, gap) -> IPMState:
+            u, nu, lam, mu = st.u, st.nu, st.lam, st.mu
+            addU, addEq = st.addU, st.addEq
+
+            def direction(aU, aE):
+                return compute_direction(
+                    u, nu, lam, mu, aU, aE, penv, scale_ineq, scale_cost
+                )
+
+            dirn, aux = direction(addU, addEq)
+            grad_u, Fu, Fval, Gval = aux
+
+            addU_next, addEq_next = addU, addEq
+            if opts.addEye2Hessian and opts.adjustAddEye2Hessian:
+                # (lib/ipmPD_CSsolver.c:393-548)
+                MIN, MAX = opts.addEye2HessianMIN, opts.addEye2HessianMAX
+                good = dirn.curvature > 0
+                if opts.useInertia:
+                    good |= (dirn.mp == mp_desired) & (dirn.mn == mn_desired)
+
+                # delayed adjustments when direction is acceptable
+                derr = dirn.derr
+                dec = derr < opts.maxDirectionError
+                inc = derr > opts.maxDirectionError
+                addU_next_good = jnp.where(
+                    dec & (addU > MIN), jnp.maximum(0.75 * addU, MIN), addU
+                )
+                addU_next_good = jnp.where(
+                    inc & (addU < MAX),
+                    jnp.minimum(10.0 * jnp.maximum(addU, MIN), MAX),
+                    addU_next_good,
+                )
+                addEq_next_good = jnp.where(
+                    dec & (addEq > MIN), jnp.maximum(0.75 * addEq, MIN), addEq
+                )
+                addEq_next_good = jnp.where(
+                    inc & (addEq < MAX),
+                    jnp.minimum(10.0 * jnp.maximum(addEq, MIN), MAX),
+                    addEq_next_good,
+                )
+
+                # immediate increase + one re-solve when direction is bad
+                if opts.useInertia:
+                    not_enough_pos = dirn.mp < mp_desired
+                    facU = jnp.where(not_enough_pos, 10.0, 2.0)
+                    facE = jnp.where(not_enough_pos, 2.0, 10.0)
+                else:
+                    facU = 10.0
+                    facE = 10.0
+                addU_bad = jnp.minimum(facU * jnp.maximum(addU, MIN), MAX)
+                addEq_bad = jnp.minimum(facE * jnp.maximum(addEq, MIN), MAX)
+
+                def recompute(_):
+                    d2, aux2 = direction(addU_bad, addEq_bad)
+                    return d2, aux2, addU_bad, addEq_bad, addU_bad, addEq_bad
+
+                def keep(_):
+                    return dirn, aux, addU, addEq, addU_next_good, addEq_next_good
+
+                dirn, aux, addU, addEq, addU_next, addEq_next = lax.cond(
+                    ~good, recompute, keep, None
+                )
+                grad_u, Fu, Fval, Gval = aux
+
+            dU, dNu, dLambda = dirn.dU, dirn.dNu, dirn.dLambda
+
+            def minF_at(alpha):
+                return (
+                    jnp.min(Fs(u + alpha * dU)) if nF > 0 else jnp.asarray(jnp.inf, dt)
+                )
+
+            nan_fail = jnp.asarray(False)
+
+            if nF == 0:
+                # no inequalities: full step (lib/ipmPD_CSsolver.c:550-569)
+                alphaPrimal = jnp.asarray(opts.alphaMax, dt)
+                alphaDualEq = jnp.asarray(opts.alphaMax, dt)
+                alphaDualIneq = jnp.zeros((), dt)
+                new_u = u + alphaPrimal * dU
+                new_nu = nu + alphaDualEq * dNu
+                new_lam = lam
+                new_mu = mu
+            else:
+                new_mu = mu
+                if not opts.skipAffine:
+                    # affine step + sigma mu update
+                    # (lib/ipmPD_CSsolver.c:579-665)
+                    dU_a, dLambda_a = dirn.dU_a, dirn.dLambda_a
+                    maxAlphaP_a = _clp(Fval, Fu @ dU_a)
+                    maxAlphaDI_a = _clp(lam, dLambda_a)
+                    aMax = jnp.minimum(
+                        jnp.minimum(maxAlphaP_a, opts.alphaMax), maxAlphaDI_a
+                    )
+
+                    def minF_a(alpha):
+                        return jnp.min(Fs(u + alpha * dU_a))
+
+                    alpha_a = line_search_a(minF_a, aMax)
+                    newF_a = Fs(u + alpha_a * dU_a)
+                    newLam_a = lam + alpha_a * dLambda_a
+                    rho = (newF_a @ newLam_a) / gap
+                    sigma = jnp.clip(rho, 0.0, 1.0)
+                    sigma = sigma**2 if opts.delta == 2 else sigma**3
+                    eq_ok = (
+                        jnp.asarray(True)
+                        if nG == 0
+                        else (norminf_eq < 100 * opts.equalTolerance)
+                        | (norminf_eq < 1e-3)
+                    )
+                    do_sigma = (alpha_a > opts.alphaMax / 2) & eq_ok
+                    new_mu = jnp.where(
+                        do_sigma,
+                        jnp.maximum(sigma * gap / nF, mu_min),
+                        mu,
+                    )
+
+                # combined-direction fraction-to-boundary + backtracking
+                maxAlphaPrimal = _clp(Fval, Fu @ dU)
+                if variant == "timesLambda" and not small:
+                    maxAlphaDualIneq = _clp(jnp.ones((nF,), dt), dLambda)
+                else:
+                    maxAlphaDualIneq = _clp(lam, dLambda)
+                alphaP = maxAlphaPrimal
+                if opts.coupledAlphas:
+                    alphaP = jnp.minimum(alphaP, maxAlphaDualIneq)
+                alpha_bt = jnp.minimum(alphaP * STEPBACK, opts.alphaMax)
+                alphaPrimal, nan_fail = line_search_s(minF_at, alpha_bt)
+
+                if opts.coupledAlphas:
+                    alphaDualIneq = alphaPrimal
+                    alphaDualEq = alphaPrimal
+                else:
+                    alphaDualIneq = jnp.minimum(
+                        maxAlphaDualIneq * STEPBACK, alpha_bt
+                    )
+                    alphaDualEq = alphaDualIneq
+
+                new_u = u + alphaPrimal * dU
+                new_nu = nu + alphaDualEq * dNu
+                if variant == "timesLambda" and not small:
+                    new_lam = lam * (1.0 + alphaDualIneq * dLambda)
+                else:
+                    new_lam = lam + alphaDualIneq * dLambda
+
+                # mu update, skipAffine branch (lib/ipmPD_CSsolver.c:782-859)
+                if opts.skipAffine:
+                    th_grad = norminf_grad < jnp.maximum(1e-6, opts.gradTolerance)
+                    th_eq = (
+                        jnp.asarray(True)
+                        if nG == 0
+                        else norminf_eq < jnp.maximum(1e-5, opts.equalTolerance)
+                    )
+                    aggressive = (alphaPrimal > alpha_bt / 2) & th_grad & th_eq
+                    mu_aggr = jnp.maximum(
+                        mu * jnp.minimum(opts.muFactorAggressive, jnp.sqrt(mu)),
+                        mu_min,
+                    )
+                    tiny_alpha = alphaPrimal < 0.1
+                    mu_tiny = jnp.minimum(mu * 1.1, mu0)
+                    conservative = (alphaPrimal > 0.99) & th_eq
+                    mu_cons = jnp.maximum(mu * opts.muFactorConservative, mu_min)
+                    new_mu = jnp.where(
+                        aggressive,
+                        mu_aggr,
+                        jnp.where(
+                            tiny_alpha,
+                            mu_tiny,
+                            jnp.where(conservative, mu_cons, mu),
+                        ),
+                    )
+                    # on tiny alpha the reference also re-initializes lambda
+                    # (initDualIneq__, lib/ipmPD_CSsolver.c:816)
+                    new_lam = jnp.where(
+                        tiny_alpha, mu_tiny / Fs(new_u), new_lam
+                    )
+
+                # stall escape (lib/ipmPD_CSsolver.c:853-859)
+                stalled = (
+                    (alphaPrimal < opts.alphaMin)
+                    & (alphaDualIneq < opts.alphaMin)
+                    & (alphaDualEq < opts.alphaMin)
+                )
+                new_mu = jnp.where(
+                    stalled,
+                    jnp.maximum(
+                        new_mu / opts.muFactorConservative**2, mu_min
+                    ),
+                    new_mu,
+                )
+
+            status = jnp.where(nan_fail, 4, 0).astype(jnp.int32)
+            done = nan_fail
+
+            new_state = IPMState(
+                u=jnp.where(done, u, new_u),
+                nu=jnp.where(done, nu, new_nu) if nG > 0 else nu,
+                lam=jnp.where(done, lam, new_lam) if nF > 0 else lam,
+                mu=new_mu,
+                addU=addU,
+                addEq=addEq,
+                addU_next=addU_next,
+                addEq_next=addEq_next,
+                alphaPrimal=alphaPrimal if nF > 0 else jnp.asarray(opts.alphaMax, dt),
+                alphaDualIneq=alphaDualIneq if nF > 0 else jnp.zeros((), dt),
+                alphaDualEq=alphaDualEq if nF > 0 else jnp.asarray(opts.alphaMax, dt),
+                status=status,
+                it=st.it,
+                done=done,
+            )
+
+            if opts.verboseLevel >= 3:
+                jax.debug.print(
+                    "{it:4d}: |grad|={g:8.1e} |eq|={e:8.1e} gap={gp:8.1e} "
+                    "mu={m:8.1e} addU={aU:8.1e} derr={de:8.1e} "
+                    "alphaP={aP:8.1e}",
+                    it=st.it,
+                    g=norminf_grad,
+                    e=norminf_eq,
+                    gp=gap,
+                    m=new_mu,
+                    aU=addU,
+                    de=dirn.derr,
+                    aP=new_state.alphaPrimal,
+                )
+            return new_state
+
+        final = lax.while_loop(lambda s: ~s.done, body, state0)
+
+        # status completion when maxIter reached
+        # (lib/ipmPD_CSsolver.c:885-920)
+        norminf_grad, norminf_eq, gap, ineq, dual = exit_metrics(final)
+        status = final.status
+        is8 = status == 8
+
+        def add_flag(cond, flag, s):
+            return jnp.where(is8 & cond, s | flag, s)
+
+        status = add_flag(norminf_grad > opts.gradTolerance, 16, status)
+        if nG > 0:
+            status = add_flag(norminf_eq > opts.equalTolerance, 32, status)
+        if nF > 0:
+            status = add_flag(gap > desired_gap, 64, status)
+            status = add_flag(final.mu > mu_min, 128, status)
+            aP, aDI, aDE = (
+                final.alphaPrimal,
+                final.alphaDualIneq,
+                final.alphaDualEq,
+            )
+            negl = (aP <= opts.alphaMin) & (aDI < opts.alphaMin) & (aDE < opts.alphaMin)
+            small_a = (aP <= 0.1) & (aDI < 0.1) & (aDE < 0.1)
+            med_a = (aP <= 0.5) & (aDI < 0.5) & (aDE < 0.5)
+            status = add_flag(negl, 1792, status)
+            status = add_flag(~negl & small_a, 1536, status)
+            status = add_flag(~negl & ~small_a & med_a, 1024, status)
+        if opts.addEye2Hessian and opts.adjustAddEye2Hessian:
+            status = add_flag(
+                final.addU > opts.addEye2HessianUtolerance, 2048, status
+            )
+
+        return IPMResult(
+            u=final.u,
+            nu=final.nu,
+            lam=final.lam,
+            mu=final.mu,
+            status=status,
+            iters=final.it,
+            norminf_grad=norminf_grad,
+            norminf_eq=norminf_eq,
+            gap=gap,
+            f=fs(final.u) / scale_cost,
+            addU=final.addU,
+            addEq=final.addEq,
+        )
+
+    return solve

@@ -1,0 +1,167 @@
+"""Dense unpivoted LDL^T factorization for symmetric-indefinite KKT systems.
+
+TPU-native replacement for the reference's symbolic sparse LDL unrolled to
+straight-line scalar C (lib/@csparse/sparsity_ldl.m:161-222).  Like the
+reference we factor *without pivoting* (sparsity_ldl.m:188 errors out when
+pivoting would be needed); robustness comes from the IPM's adaptive
+``addEye2Hessian`` regularization with curvature/inertia monitoring
+(lib/ipmPD_CSsolver.c:393-548), not from pivoting.
+
+Two implementations with identical semantics:
+
+* :func:`ldl_factor_unblocked` — one lax.fori_loop step per column;
+  simple, used as the reference oracle in tests.
+* :func:`ldl_factor` — blocked right-looking variant: the diagonal block
+  is factored with the unblocked kernel, the panel is formed with a
+  triangular solve, and the trailing update is a single matmul that XLA
+  maps onto the MXU.  Block size is chosen to balance the sequential
+  critical path against MXU utilization.
+
+Returns (L, d) with unit lower-triangular L and diagonal d; inertia is
+``(#d>0, #d<0)`` exactly as the reference computes it via
+``sum(heaviside(±dHess))`` (lib/ipmPD_CS.m:277-279).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def ldl_factor_unblocked(A: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Column-by-column unpivoted LDL^T: A = L diag(d) L^T.
+
+    O(n) sequential steps, each a rank-1 masked update of the trailing
+    matrix.  Shapes are static; no pivoting.
+    """
+    n = A.shape[-1]
+    idx = jnp.arange(n)
+
+    def body(j, carry):
+        L, d, M = carry
+        dj = M[j, j]
+        col = jnp.where(idx > j, M[:, j] / dj, 0.0)
+        L = L.at[:, j].set(col)
+        d = d.at[j].set(dj)
+        M = M - dj * jnp.outer(col, col)
+        return L, d, M
+
+    L0 = jnp.zeros_like(A)
+    d0 = jnp.zeros(n, dtype=A.dtype)
+    L, d, _ = lax.fori_loop(0, n, body, (L0, d0, A))
+    return L + jnp.eye(n, dtype=A.dtype), d
+
+
+def _ldl_block(M: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Unblocked LDL of a small b x b block (unrolled python loop)."""
+    b = M.shape[-1]
+    idx = jnp.arange(b)
+    L = jnp.zeros_like(M)
+    d = jnp.zeros(b, dtype=M.dtype)
+    for j in range(b):
+        dj = M[j, j]
+        col = jnp.where(idx > j, M[:, j] / dj, 0.0)
+        L = L.at[:, j].set(col)
+        d = d.at[j].set(dj)
+        M = M - dj * jnp.outer(col, col)
+    return L + jnp.eye(b, dtype=M.dtype), d
+
+
+@partial(jax.jit, static_argnames=("block",))
+def ldl_factor(A: jax.Array, block: int = 64) -> tuple[jax.Array, jax.Array]:
+    """Blocked right-looking unpivoted LDL^T.
+
+    Processes ``block`` columns at a time: factor the diagonal block,
+    compute the panel via a (unit-lower) triangular solve, then update the
+    trailing submatrix with one matmul.  Masking keeps every shape static
+    so the whole factorization lives in one XLA computation.
+    """
+    n = A.shape[-1]
+    if n == 0:
+        return jnp.zeros_like(A), jnp.zeros((0,), dtype=A.dtype)
+    if n <= block:
+        return ldl_factor_unblocked(A)
+
+    nb = -(-n // block)  # ceil
+    npad = nb * block
+    if npad != n:
+        # pad with identity so the factorization of the padded matrix
+        # restricted to the leading n x n block equals that of A
+        Ap = jnp.eye(npad, dtype=A.dtype)
+        Ap = Ap.at[:n, :n].set(A)
+        L, d = ldl_factor(Ap, block=block)
+        return L[:n, :n], d[:n]
+
+    rows = jnp.arange(n)
+
+    def body(k, carry):
+        L, d, M = carry
+        j0 = k * block
+        # diagonal block factor
+        Mkk = lax.dynamic_slice(M, (j0, j0), (block, block))
+        Lkk, dk = _ldl_block(Mkk)
+        # panel: all rows, block columns (mask rows <= j0+block-ish)
+        panel = lax.dynamic_slice(M, (0, j0), (n, block))
+        # solve X * (Lkk dk)^T = panel  =>  X = panel * Lkk^{-T} * dk^{-1}
+        X = lax.linalg.triangular_solve(
+            Lkk, panel, left_side=False, lower=True, transpose_a=True,
+            unit_diagonal=True,
+        )
+        X = X / dk[None, :]
+        below = rows[:, None] >= (j0 + block)
+        Xm = jnp.where(below, X, 0.0)
+        # trailing update: M -= Xm * dk * Xm^T  (one MXU matmul)
+        M = M - (Xm * dk[None, :]) @ Xm.T
+        # write L panel (unit diagonal handled at the end)
+        Lpanel = jnp.where(below, X, 0.0)
+        Lpanel = lax.dynamic_update_slice(
+            Lpanel, jnp.tril(Lkk, -1), (j0, 0)
+        )
+        L = lax.dynamic_update_slice(L, Lpanel, (0, j0))
+        d = lax.dynamic_update_slice(d, dk, (j0,))
+        return L, d, M
+
+    L0 = jnp.zeros_like(A)
+    d0 = jnp.zeros(n, dtype=A.dtype)
+    L, d, _ = lax.fori_loop(0, nb, body, (L0, d0, A))
+    return L + jnp.eye(n, dtype=A.dtype), d
+
+
+def ldl_solve(L: jax.Array, d: jax.Array, b: jax.Array) -> jax.Array:
+    """Solve (L diag(d) L^T) x = b via two triangular solves.
+
+    The analog of the reference's unrolled forward/back substitution
+    (lib/@csparse/sparsity_mldivide_l1.m / _u1 / _d).
+    """
+    vec = b.ndim == 1
+    bb = b[:, None] if vec else b
+    y = lax.linalg.triangular_solve(
+        L, bb, left_side=True, lower=True, unit_diagonal=True
+    )
+    y = y / d[:, None]
+    x = lax.linalg.triangular_solve(
+        L, y, left_side=True, lower=True, transpose_a=True, unit_diagonal=True
+    )
+    return x[:, 0] if vec else x
+
+
+def ldl_inertia(d: jax.Array, tol: float = 0.0) -> tuple[jax.Array, jax.Array]:
+    """(#positive, #negative) eigenvalue counts from the LDL diagonal.
+
+    By Sylvester's law of inertia these equal the eigenvalue signs of the
+    factored matrix.  Matches the reference's
+    ``sum(heaviside(dHess-tol)), sum(heaviside(-dHess-tol))``
+    (lib/ipmPD_CS.m:277-279).
+    """
+    mp = jnp.sum(jnp.where(d > tol, 1.0, jnp.where(d == tol, 0.5, 0.0)))
+    mn = jnp.sum(jnp.where(-d > tol, 1.0, jnp.where(-d == tol, 0.5, 0.0)))
+    return mp, mn
+
+
+def symmetric_solve(A: jax.Array, b: jax.Array, block: int = 64):
+    """Factor + solve + inertia in one call: returns (x, d, L)."""
+    L, d = ldl_factor(A, block=block)
+    return ldl_solve(L, d, b), d, L

@@ -1,0 +1,274 @@
+"""Math function library mirroring TensCalc's operator set.
+
+Each function works both on plain jnp arrays and on :class:`~tenscalc_tpu.expr.Expr`
+objects (lifted through deferred evaluation).  Reference operators:
+lib/@Tcalculus/Tcalculus.m:866-2109 (norms, logdet, traceinv, componentwise
+functions, clp) and lib/norm2.m, lib/logdet.m, lib/relu.m, lib/srelu.m,
+lib/sqr.m, lib/cube.m, lib/clp.m, lib/vec2tensor.m, lib/pdist2t.m,
+lib/mytprod.m (generalized tensor product).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..expr import Expr, lift, to_expr, nary_op
+
+
+def _lifted(f):
+    return lift(f)
+
+
+# ---------------------------------------------------------------------------
+# norms (reference: Tcalculus.m:866-1044)
+# ---------------------------------------------------------------------------
+
+@_lifted
+def norm1(x):
+    """Sum of absolute values of all entries."""
+    return jnp.sum(jnp.abs(x))
+
+
+@_lifted
+def norm2(x, S=None):
+    """Squared Frobenius norm ``sum(x.^2)`` (reference lib/norm2.m —
+    note: TensCalc's norm2 is the *square*, not the root), or the
+    weighted quadratic form x'*S*x when S is given."""
+    if S is None:
+        return jnp.sum(x * x)
+    return jnp.vdot(x, S @ x)
+
+
+@_lifted
+def norminf(x):
+    """Max absolute value over all entries."""
+    return jnp.max(jnp.abs(x))
+
+
+# ---------------------------------------------------------------------------
+# matrix functions (reference: Tcalculus.m:1697-1835)
+# ---------------------------------------------------------------------------
+
+@_lifted
+def logdet(A):
+    """log(det(A)) for symmetric positive-definite A (reference lib/logdet.m).
+
+    Uses a Cholesky factorization so the gradient avoids forming inv(A)
+    explicitly, the analog of the reference's factorization-aware gradient
+    rules (lib/@Tcalculus/gradient.m:214-264).
+    """
+    L = jnp.linalg.cholesky(A)
+    return 2.0 * jnp.sum(jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)))
+
+
+@_lifted
+def traceinv(A):
+    """trace(inv(A)) (reference lib/traceinv.m)."""
+    return jnp.trace(jnp.linalg.inv(A))
+
+
+@_lifted
+def det(A):
+    return jnp.linalg.det(A)
+
+
+@_lifted
+def inv(A):
+    return jnp.linalg.inv(A)
+
+
+@_lifted
+def mldivide(A, b):
+    """MATLAB ``A\\b``."""
+    return jnp.linalg.solve(A, b)
+
+
+@_lifted
+def trace(A):
+    return jnp.trace(A)
+
+
+@_lifted
+def diag(x):
+    return jnp.diag(x)
+
+
+# ---------------------------------------------------------------------------
+# componentwise scalar functions (reference: Tcalculus.m:1836-2109)
+# ---------------------------------------------------------------------------
+
+@_lifted
+def relu(x):
+    return jnp.maximum(x, 0.0)
+
+
+@_lifted
+def srelu(x):
+    """Smooth relu log(1+exp(x)) (reference lib/srelu.m)."""
+    return jax.nn.softplus(x)
+
+
+@_lifted
+def heaviside(x):
+    """1 for x>0, 1/2 at 0, 0 for x<0 (reference Tcalculus heaviside)."""
+    return jnp.where(x > 0, 1.0, jnp.where(x < 0, 0.0, 0.5))
+
+
+@_lifted
+def sqr(x):
+    return x * x
+
+
+@_lifted
+def cube(x):
+    return x * x * x
+
+
+@_lifted
+def sign(x):
+    return jnp.sign(x)
+
+
+@_lifted
+def sqrt(x):
+    return jnp.sqrt(x)
+
+
+@_lifted
+def exp(x):
+    return jnp.exp(x)
+
+
+@_lifted
+def log(x):
+    return jnp.log(x)
+
+
+@_lifted
+def sin(x):
+    return jnp.sin(x)
+
+
+@_lifted
+def cos(x):
+    return jnp.cos(x)
+
+
+@_lifted
+def tan(x):
+    return jnp.tan(x)
+
+
+@_lifted
+def atan(x):
+    return jnp.arctan(x)
+
+
+@_lifted
+def normpdf(x):
+    return jnp.exp(-0.5 * x * x) / np.sqrt(2 * np.pi)
+
+
+@_lifted
+def absv(x):
+    return jnp.abs(x)
+
+
+# ---------------------------------------------------------------------------
+# fraction-to-boundary (reference: Tcalculus clp, lib/clp.m and
+# Tcalculus.m:2722 — largest alpha>=0 with x+alpha*dx>=0)
+# ---------------------------------------------------------------------------
+
+@_lifted
+def clp(x, dx):
+    """max { alpha >= 0 : x + alpha*dx >= 0 } assuming x > 0.
+
+    Entries with dx >= 0 impose no limit; the result is +inf when no entry
+    limits the step.  Matches the reference semantics used for the IPM
+    fraction-to-boundary rule (lib/ipmPD_CS.m:308-309).
+    """
+    ratio = jnp.where(dx < 0, -x / jnp.where(dx < 0, dx, -1.0), jnp.inf)
+    return jnp.min(ratio) if ratio.ndim > 0 else ratio
+
+
+# ---------------------------------------------------------------------------
+# shaping helpers
+# ---------------------------------------------------------------------------
+
+@_lifted
+def vec2tensor(x, shape):
+    """Reshape a vector into a tensor (reference lib/vec2tensor.m).
+
+    Uses Fortran (column-major) order to match MATLAB reshape semantics.
+    """
+    return jnp.reshape(x, tuple(shape), order="F")
+
+
+@_lifted
+def full(x):
+    """No-op densify (reference Tcalculus.m:1045) — arrays are dense here."""
+    return x
+
+
+@_lifted
+def pdist2t(x, y):
+    """Pairwise squared distances between columns (reference lib/pdist2t.m)."""
+    d = x[:, :, None] - y[:, None, :]
+    return jnp.sum(d * d, axis=0)
+
+
+# ---------------------------------------------------------------------------
+# tprod — TensCalc's generalized tensor product
+# ---------------------------------------------------------------------------
+
+def tprod(*args):
+    """Generalized tensor product with signed index lists.
+
+    ``tprod(A, ia, B, ib, ...)`` where each ``ia`` is a list of integers,
+    one per axis of the factor: positive k means the axis maps to output
+    axis k (1-based, as in the reference), negative means the axis is
+    summed over (matching negatives across factors are contracted
+    together).  Reference: lib/@Tcalculus/tprod.m, lib/mytprod.m.
+
+    Example: ``tprod(A, [1, -1], B, [-1, 2])`` is A @ B.
+    """
+    if len(args) % 2 != 0:
+        raise ValueError("tprod expects (tensor, index-list) pairs")
+    tensors = list(args[0::2])
+    indices = [list(ix) if isinstance(ix, (list, tuple)) else [ix] for ix in args[1::2]]
+
+    # map signed indices to einsum letters
+    letters: dict[int, str] = {}
+
+    def letter(ix: int) -> str:
+        if ix not in letters:
+            letters[ix] = chr(ord("a") + len(letters))
+        return letters[ix]
+
+    in_specs = []
+    out_axes: dict[int, str] = {}
+    for t, ixs in zip(tensors, indices):
+        spec = ""
+        for ix in ixs:
+            spec += letter(ix)
+            if ix > 0:
+                out_axes[ix] = letters[ix]
+        in_specs.append(spec)
+    if out_axes and sorted(out_axes) != list(range(1, max(out_axes) + 1)):
+        raise ValueError(f"tprod: output indices must be 1..k, got {sorted(out_axes)}")
+    out_spec = "".join(out_axes[k] for k in sorted(out_axes))
+    einsum_str = ",".join(in_specs) + "->" + out_spec
+
+    if any(isinstance(t, Expr) for t in tensors):
+        return nary_op(lambda *xs: jnp.einsum(einsum_str, *xs), *tensors)
+    return jnp.einsum(einsum_str, *tensors)
+
+
+def interpolate(xs, ys, x):
+    """Piecewise-linear interpolation (reference Tcalculus.m:2866)."""
+    f = lift(lambda _xs, _ys, _x: jnp.interp(_x, _xs, _ys))
+    return f(xs, ys, x)
