@@ -1,0 +1,543 @@
+"""Primal-dual IPM for two-player Nash equilibria with shared latent
+variables (used for coupled MPC-MHE):
+
+    P1:  min_{u,x} f(u,d,x)   s.t. Fu >= 0, Gu == 0, H == 0
+    P2:  min_{d,x} g(u,d,x)   s.t. Fd >= 0, Gd == 0, H == 0
+
+Each player optimizes over its own variables *and* the shared latent x,
+subject to the shared latent equality constraints H (each player gets its
+own multiplier for H: P1xnu / P2xnu).  Reference: lib/ipmPDeqlat_CS.m
+(structure :1-110, stacked-KKT assembly :560-700), driver loop
+lib/ipmPDeq_CSsolver.c, math doc/ipm.tex:1151-1592; generator
+lib/cmex2equilibriumLatentCS.m:10-32.
+
+The stacked first-order system is *unsymmetric* (two different
+Lagrangians share rows), so the default factorization is pivoted LU —
+mirroring the reference's default useLDL=false for this problem class
+(lib/private/parameters4equilibrium.m:149-150).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping, NamedTuple, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..expr import Constraint, Expr, Variable
+from ..pack import Packing
+from .options import SolverOptions
+from .solver import (
+    STEPBACK,
+    IPMResult,
+    _clp,
+    _norminf,
+    line_search_combined,
+)
+
+
+class EqState(NamedTuple):
+    z: jax.Array       # [u; d; x]
+    nu: jax.Array      # [P1nu; P1xnu; P2nu; P2xnu]
+    lam: jax.Array     # [P1lambda; P2lambda]
+    mu: jax.Array
+    alphaPrimal: jax.Array
+    alphaDualIneq: jax.Array
+    alphaDualEq: jax.Array
+    status: jax.Array
+    it: jax.Array
+    done: jax.Array
+
+
+class _EqFns(NamedTuple):
+    f: Any   # P1 objective (z, penv) -> scalar
+    g: Any   # P2 objective
+    Fu: Any
+    Fd: Any
+    Gu: Any
+    Gd: Any
+    H: Any
+
+
+def build_equilibrium_ipm(fns: _EqFns, dims, opts: SolverOptions):
+    nUu, nD, nX, nFu, nFd, nGu, nGd, nH = dims
+    dt = opts.np_dtype
+    nZ = nUu + nD + nX
+    nF = nFu + nFd
+    nGres = nGu + nGd + nH        # equality residual length [Gu;Gd;H]
+    nNu = nGu + nH + nGd + nH     # dual length (H gets two multipliers)
+    nS = nUu + nD + 2 * nX        # stationarity rows
+    if nS + nGres + nF != nZ + nNu + nF:
+        raise ValueError(
+            "equilibrium KKT system is not square: need "
+            "#latentConstraints == #latentVariables "
+            f"(nH={nH}, nX={nX})"
+        )
+
+    def scaled_fns(penv, sFu, sFd, sc):
+        def Fu(z):
+            return sFu * fns.Fu(z, penv) if nFu else jnp.zeros((0,), dt)
+
+        def Fd(z):
+            return sFd * fns.Fd(z, penv) if nFd else jnp.zeros((0,), dt)
+
+        def Fall(z):
+            return jnp.concatenate([Fu(z), Fd(z)])
+
+        def Gall(z):
+            gu = fns.Gu(z, penv) if nGu else jnp.zeros((0,), dt)
+            gd = fns.Gd(z, penv) if nGd else jnp.zeros((0,), dt)
+            h = fns.H(z, penv) if nH else jnp.zeros((0,), dt)
+            return jnp.concatenate([gu, gd, h])
+
+        def Lf(z, nu, lam):
+            # P1 Lagrangian (ipmPDeqlat_CS.m:193-208)
+            val = sc * fns.f(z, penv)
+            if nFu:
+                val = val - lam[:nFu] @ Fu(z)
+            if nGu:
+                val = val + nu[:nGu] @ fns.Gu(z, penv)
+            if nH:
+                val = val + nu[nGu : nGu + nH] @ fns.H(z, penv)
+            return val
+
+        def Lg(z, nu, lam):
+            # P2 Lagrangian
+            val = sc * fns.g(z, penv)
+            if nFd:
+                val = val - lam[nFu:] @ Fd(z)
+            if nGd:
+                val = val + nu[nGu + nH : nGu + nH + nGd] @ fns.Gd(z, penv)
+            if nH:
+                val = val + nu[nGu + nH + nGd :] @ fns.H(z, penv)
+            return val
+
+        def stat(z, nu, lam):
+            """Stationarity rows [Lf_u; Lg_d; Lf_x; Lg_x]
+            (ipmPDeqlat_CS.m:568-583)."""
+            gf = jax.grad(Lf, argnums=0)(z, nu, lam)
+            gg = jax.grad(Lg, argnums=0)(z, nu, lam)
+            return jnp.concatenate(
+                [
+                    gf[:nUu],
+                    gg[nUu : nUu + nD],
+                    gf[nUu + nD :],
+                    gg[nUu + nD :],
+                ]
+            )
+
+        return Fu, Fd, Fall, Gall, Lf, Lg, stat
+
+    def compute_direction(z, nu, lam, mu, penv, sFu, sFd, sc):
+        Fu, Fd, Fall, Gall, Lf, Lg, stat = scaled_fns(penv, sFu, sFd, sc)
+        sv = stat(z, nu, lam)
+        Sz = jax.jacfwd(stat, argnums=0)(z, nu, lam)
+        Sn = jax.jacfwd(stat, argnums=1)(z, nu, lam)
+        Sl = jax.jacfwd(stat, argnums=2)(z, nu, lam)
+        Gv = Gall(z)
+        Gz = jax.jacfwd(Gall)(z) if nGres else jnp.zeros((0, nZ), dt)
+        Fv = Fall(z)
+        Fz = jax.jacfwd(Fall)(z) if nF else jnp.zeros((0, nZ), dt)
+
+        row1 = jnp.concatenate([Sz, Sn, Sl], axis=1)
+        row2 = jnp.concatenate(
+            [Gz, jnp.zeros((nGres, nNu + nF), dt)], axis=1
+        )
+        row3 = jnp.concatenate(
+            [Fz, jnp.zeros((nF, nNu), dt), jnp.diag(Fv / lam) if nF else jnp.zeros((0, 0), dt)],
+            axis=1,
+        )
+        WW = jnp.concatenate([row1, row2, row3], axis=0)
+        b = jnp.concatenate(
+            [-sv, -Gv, -Fv + mu / lam if nF else jnp.zeros((0,), dt)]
+        )
+        # unsymmetric system -> pivoted LU (reference default useLDL=false)
+        lu, piv = jax.scipy.linalg.lu_factor(WW)
+        dx = jax.scipy.linalg.lu_solve((lu, piv), b)
+        derr = _norminf(WW @ dx - b)
+        return dx, derr, sv, Fz, Fv, Gv
+
+    def solve(z0, penv, mu0=1.0, max_iter=None) -> IPMResult:
+        max_iter_v = jnp.asarray(
+            opts.maxIter if max_iter is None else max_iter, jnp.int32
+        )
+        z0 = jnp.asarray(z0, dt)
+        mu0 = jnp.asarray(mu0, dt)
+
+        if nFu and opts.scaleInequalities:
+            sFu = jnp.abs(1.0 / fns.Fu(z0, penv)).astype(dt)
+        else:
+            sFu = jnp.ones((nFu,), dt)
+        if nFd and opts.scaleInequalities:
+            sFd = jnp.abs(1.0 / fns.Fd(z0, penv)).astype(dt)
+        else:
+            sFd = jnp.ones((nFd,), dt)
+        if opts.scaleCost > 0:
+            sc = jnp.abs(opts.scaleCost / fns.f(z0, penv)).astype(dt)
+        else:
+            sc = jnp.ones((), dt)
+
+        Fu, Fd, Fall, Gall, Lf, Lg, stat = scaled_fns(penv, sFu, sFd, sc)
+
+        desired_gap = (
+            opts.desiredDualityGap * sc
+            if opts.scaleCost > 0
+            else jnp.asarray(opts.desiredDualityGap, dt)
+        )
+        mu_min = desired_gap / max(nF, 1) / 2.0
+
+        lam0 = mu0 / Fall(z0) if nF else jnp.zeros((0,), dt)
+        nu0 = jnp.ones((nNu,), dt)
+
+        st0 = EqState(
+            z=z0, nu=nu0, lam=lam0, mu=mu0,
+            alphaPrimal=jnp.zeros((), dt),
+            alphaDualIneq=jnp.zeros((), dt),
+            alphaDualEq=jnp.zeros((), dt),
+            status=jnp.zeros((), jnp.int32),
+            it=jnp.zeros((), jnp.int32),
+            done=jnp.asarray(False),
+        )
+
+        def exit_metrics(st):
+            # sum of the four stationarity norms (ipmPDeqlat_CS.m:243-246)
+            gf = jax.grad(Lf, argnums=0)(st.z, st.nu, st.lam)
+            gg = jax.grad(Lg, argnums=0)(st.z, st.nu, st.lam)
+            g = (
+                _norminf(gf[:nUu])
+                + _norminf(gg[nUu : nUu + nD])
+                + (_norminf(gf[nUu + nD :]) if nX else 0.0)
+                + (_norminf(gg[nUu + nD :]) if nX else 0.0)
+            )
+            eq = _norminf(Gall(st.z))
+            Fv = Fall(st.z)
+            if nF:
+                gap = st.lam @ Fv
+                ineq = jnp.min(Fv)
+                dual = jnp.min(st.lam)
+            else:
+                gap = jnp.zeros((), dt)
+                ineq = jnp.asarray(jnp.inf, dt)
+                dual = jnp.asarray(jnp.inf, dt)
+            return g, eq, gap, ineq, dual
+
+        def body(st):
+            return lax.cond(st.done, lambda s: s, _step, st)
+
+        def _step(st):
+            it = st.it + 1
+            g, eq, gap, ineq, dual = exit_metrics(st)
+
+            status = jnp.zeros((), jnp.int32)
+            fail_maxiter = it > max_iter_v
+            status = jnp.where(fail_maxiter, 8, status)
+            fail_nan = jnp.isnan(g)
+            status = jnp.where(fail_nan & (status == 0), 4, status)
+            fail_ineq = jnp.asarray(False) if nF == 0 else (ineq <= 0)
+            status = jnp.where(fail_ineq & (status == 0), 1, status)
+            fail_dual = jnp.asarray(False) if nF == 0 else (dual <= 0)
+            status = jnp.where(fail_dual & (status == 0), 2, status)
+
+            converged = g <= opts.gradTolerance
+            if nF:
+                converged &= gap <= desired_gap
+            if nGres:
+                converged &= eq <= opts.equalTolerance
+            early = fail_maxiter | fail_nan | fail_ineq | fail_dual | converged
+
+            def stop(_):
+                return st._replace(it=it, status=status, done=jnp.asarray(True))
+
+            def iterate(_):
+                return _iterate(st._replace(it=it), g, eq, gap)
+
+            return lax.cond(early, stop, iterate, None)
+
+        def _iterate(st, g, eq, gap):
+            z, nu, lam, mu = st.z, st.nu, st.lam, st.mu
+            dx, derr, sv, Fz, Fv, Gv = compute_direction(
+                z, nu, lam, mu, penv, sFu, sFd, sc
+            )
+            dZ = dx[:nZ]
+            dNu = dx[nZ : nZ + nNu]
+            dLam = dx[nZ + nNu :]
+
+            def minF_at(alpha):
+                return jnp.min(Fall(z + alpha * dZ)) if nF else jnp.asarray(jnp.inf, dt)
+
+            nan_fail = jnp.any(jnp.isnan(dx))
+            if nF == 0:
+                alphaPrimal = jnp.asarray(opts.alphaMax, dt)
+                alphaDualEq = jnp.asarray(opts.alphaMax, dt)
+                alphaDualIneq = jnp.zeros((), dt)
+                new_z = z + alphaPrimal * dZ
+                new_nu = nu + alphaDualEq * dNu
+                new_lam = lam
+                new_mu = mu
+            else:
+                maxAlphaP = _clp(Fv, Fz @ dZ)
+                maxAlphaDI = _clp(lam, dLam)
+                alphaP = maxAlphaP
+                if opts.coupledAlphas:
+                    alphaP = jnp.minimum(alphaP, maxAlphaDI)
+                alpha_bt = jnp.minimum(alphaP * STEPBACK, opts.alphaMax)
+                alphaPrimal, nan2 = line_search_combined(minF_at, alpha_bt, opts, dt)
+                nan_fail |= nan2
+                if opts.coupledAlphas:
+                    alphaDualIneq = alphaPrimal
+                    alphaDualEq = alphaPrimal
+                else:
+                    alphaDualIneq = jnp.minimum(maxAlphaDI * STEPBACK, alpha_bt)
+                    alphaDualEq = alphaDualIneq
+
+                new_z = z + alphaPrimal * dZ
+                new_nu = nu + alphaDualEq * dNu
+                new_lam = lam + alphaDualIneq * dLam
+
+                th_grad = g < jnp.maximum(1e-6, opts.gradTolerance)
+                th_eq = (
+                    jnp.asarray(True)
+                    if nGres == 0
+                    else eq < jnp.maximum(1e-5, opts.equalTolerance)
+                )
+                aggressive = (alphaPrimal > alpha_bt / 2) & th_grad & th_eq
+                mu_aggr = jnp.maximum(
+                    mu * jnp.minimum(opts.muFactorAggressive, jnp.sqrt(mu)), mu_min
+                )
+                tiny = alphaPrimal < 0.1
+                mu_tiny = jnp.minimum(mu * 1.1, mu0)
+                conservative = (alphaPrimal > 0.99) & th_eq
+                mu_cons = jnp.maximum(mu * opts.muFactorConservative, mu_min)
+                new_mu = jnp.where(
+                    aggressive, mu_aggr,
+                    jnp.where(tiny, mu_tiny, jnp.where(conservative, mu_cons, mu)),
+                )
+                new_lam = jnp.where(tiny, mu_tiny / Fall(new_z), new_lam)
+                stalled = (
+                    (alphaPrimal < opts.alphaMin)
+                    & (alphaDualIneq < opts.alphaMin)
+                    & (alphaDualEq < opts.alphaMin)
+                )
+                new_mu = jnp.where(
+                    stalled,
+                    jnp.maximum(new_mu / opts.muFactorConservative**2, mu_min),
+                    new_mu,
+                )
+
+            status = jnp.where(nan_fail, 4, 0).astype(jnp.int32)
+            done = nan_fail
+            return EqState(
+                z=jnp.where(done, z, new_z),
+                nu=jnp.where(done, nu, new_nu) if nNu else nu,
+                lam=jnp.where(done, lam, new_lam) if nF else lam,
+                mu=new_mu,
+                alphaPrimal=alphaPrimal if nF else jnp.asarray(opts.alphaMax, dt),
+                alphaDualIneq=alphaDualIneq if nF else jnp.zeros((), dt),
+                alphaDualEq=alphaDualEq if nF else jnp.asarray(opts.alphaMax, dt),
+                status=status,
+                it=st.it,
+                done=done,
+            )
+
+        final = lax.while_loop(lambda s: ~s.done, body, st0)
+
+        g, eq, gap, ineq, dual = exit_metrics(final)
+        status = final.status
+        is8 = status == 8
+
+        def add_flag(cond, flag, s):
+            return jnp.where(is8 & cond, s | flag, s)
+
+        status = add_flag(g > opts.gradTolerance, 16, status)
+        if nGres:
+            status = add_flag(eq > opts.equalTolerance, 32, status)
+        if nF:
+            status = add_flag(gap > desired_gap, 64, status)
+            status = add_flag(final.mu > mu_min, 128, status)
+            aP, aDI, aDE = final.alphaPrimal, final.alphaDualIneq, final.alphaDualEq
+            negl = (aP <= opts.alphaMin) & (aDI < opts.alphaMin) & (aDE < opts.alphaMin)
+            small_a = (aP <= 0.1) & (aDI < 0.1) & (aDE < 0.1)
+            med_a = (aP <= 0.5) & (aDI < 0.5) & (aDE < 0.5)
+            status = add_flag(negl, 1792, status)
+            status = add_flag(~negl & small_a, 1536, status)
+            status = add_flag(~negl & ~small_a & med_a, 1024, status)
+
+        Fu_, Fd_, Fall_, Gall_, Lf_, Lg_, stat_ = scaled_fns(penv, sFu, sFd, sc)
+        return IPMResult(
+            u=final.z,
+            nu=final.nu,
+            lam=final.lam,
+            mu=final.mu,
+            status=status,
+            iters=final.it,
+            norminf_grad=g,
+            norminf_eq=eq,
+            gap=gap,
+            f=fns.f(final.z, penv),
+            addU=jnp.zeros((), dt),
+            addEq=jnp.zeros((), dt),
+        )
+
+    return solve
+
+
+class EquilibriumSolver:
+    """Two-player equilibrium solver instance (reference:
+    cmex2equilibriumLatentCS / class2equilibriumLatentCS)."""
+
+    def __init__(
+        self,
+        P1objective: Expr,
+        P2objective: Expr,
+        P1optimizationVariables: Sequence[Variable],
+        P2optimizationVariables: Sequence[Variable],
+        latentVariables: Sequence[Variable] = (),
+        P1constraints: Sequence[Constraint] = (),
+        P2constraints: Sequence[Constraint] = (),
+        latentConstraints: Sequence[Constraint] = (),
+        parameters: Sequence[Variable] = (),
+        outputExpressions: Optional[Mapping[str, Expr]] = None,
+        options: Optional[SolverOptions] = None,
+        **option_kwargs,
+    ):
+        from ..api import _ensure_x64, _split_constraints, _stack_eval, Solution
+
+        self.opts = (options or SolverOptions()).replace(**option_kwargs)
+        _ensure_x64(self.opts)
+        dt = self.opts.np_dtype
+
+        self.p1_vars = list(P1optimizationVariables)
+        self.p2_vars = list(P2optimizationVariables)
+        self.lat_vars = list(latentVariables)
+        self.parameters = list(parameters)
+        self.outputExpressions = dict(outputExpressions or {})
+        self.pack_u = Packing(self.p1_vars)
+        self.pack_d = Packing(self.p2_vars)
+        self.pack_x = Packing(self.lat_vars)
+
+        Fu_e, Gu_e = _split_constraints(P1constraints)
+        Fd_e, Gd_e = _split_constraints(P2constraints)
+        H_ineq, H_e = [], []
+        for c in latentConstraints:
+            if not isinstance(c, Constraint):
+                raise TypeError("latentConstraints must be Constraint objects")
+            (H_ineq if c.kind == "ineq" else H_e).append(c.expr)
+        if H_ineq:
+            raise ValueError(
+                "latentConstraints must be equality constraints "
+                "(reference: parseConstraints with err on inequalities)"
+            )
+
+        dims = (
+            self.pack_u.total,
+            self.pack_d.total,
+            self.pack_x.total,
+            int(sum(e.size for e in Fu_e)),
+            int(sum(e.size for e in Fd_e)),
+            int(sum(e.size for e in Gu_e)),
+            int(sum(e.size for e in Gd_e)),
+            int(sum(e.size for e in H_e)),
+        )
+        self.dims = dims
+        nUu, nD, nX = dims[0], dims[1], dims[2]
+        pu, pd, px = self.pack_u, self.pack_d, self.pack_x
+
+        def env_of(z, penv):
+            return {
+                **penv,
+                **pu.unpack(z[:nUu]),
+                **pd.unpack(z[nUu : nUu + nD]),
+                **px.unpack(z[nUu + nD :]),
+            }
+
+        def mk_scalar(expr):
+            def fn(z, penv):
+                return jnp.asarray(expr(env_of(z, penv)), dt).reshape(())
+
+            return fn
+
+        def mk_stack(exprs):
+            def fn(z, penv):
+                return _stack_eval(exprs, env_of(z, penv)).astype(dt)
+
+            return fn
+
+        self._fns = _EqFns(
+            f=mk_scalar(P1objective),
+            g=mk_scalar(P2objective),
+            Fu=mk_stack(Fu_e),
+            Fd=mk_stack(Fd_e),
+            Gu=mk_stack(Gu_e),
+            Gd=mk_stack(Gd_e),
+            H=mk_stack(H_e),
+        )
+        self._solve_raw = build_equilibrium_ipm(self._fns, dims, self.opts)
+        self._solve_jit = jax.jit(self._solve_raw)
+        self._Solution = Solution
+        self._env_of = env_of
+
+    def _param_env(self, parameters):
+        parameters = dict(parameters or {})
+        dt = self.opts.np_dtype
+        env = {}
+        for p in self.parameters:
+            if p.name not in parameters:
+                raise ValueError(f"missing parameter {p.name!r}")
+            v = jnp.asarray(parameters[p.name], dt)
+            if tuple(v.shape) != p.shape:
+                raise ValueError(
+                    f"parameter {p.name!r}: expected shape {p.shape}, got {tuple(v.shape)}"
+                )
+            env[p.name] = v
+        return env
+
+    def solve(self, parameters=None, init=None, mu0: float = 1.0,
+              max_iter: Optional[int] = None):
+        import time as _time
+
+        dt = self.opts.np_dtype
+        penv = self._param_env(parameters)
+        init = dict(init or {})
+        env = {
+            v.name: jnp.asarray(init.get(v.name, jnp.zeros(v.shape)), dt)
+            for v in self.p1_vars + self.p2_vars + self.lat_vars
+        }
+        z0 = jnp.concatenate(
+            [
+                self.pack_u.pack(env, dtype=dt),
+                self.pack_d.pack(env, dtype=dt),
+                self.pack_x.pack(env, dtype=dt),
+            ]
+        )
+        t0 = _time.perf_counter()
+        res = self._solve_jit(
+            z0, penv, mu0, self.opts.maxIter if max_iter is None else max_iter
+        )
+        res = jax.tree.map(lambda x: x.block_until_ready(), res)
+        elapsed = _time.perf_counter() - t0
+
+        var_env = {
+            k: v for k, v in self._env_of(res.u, penv).items()
+            if k not in penv
+        }
+        out_env = {**penv, **var_env, "mu_": res.mu, "lambda_": res.lam, "nu_": res.nu}
+        outputs = {
+            name: np.asarray(e(out_env)) if isinstance(e, Expr) else e
+            for name, e in self.outputExpressions.items()
+        }
+        return self._Solution(
+            status=int(res.status),
+            iters=int(res.iters),
+            outputs=outputs,
+            variables={k: np.asarray(v) for k, v in var_env.items()},
+            mu=float(res.mu),
+            norminf_grad=float(res.norminf_grad),
+            norminf_eq=float(res.norminf_eq),
+            gap=float(res.gap),
+            objective=float(res.f),
+            lam=np.asarray(res.lam),
+            nu=np.asarray(res.nu),
+            time=elapsed,
+        )

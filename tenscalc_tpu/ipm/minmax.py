@@ -1,0 +1,580 @@
+"""Primal-dual IPM for min-max (Stackelberg / robust) problems.
+
+    min_u max_d f(u, d)
+    s.t.  Fu(u) >= 0, Gu(u) == 0          (minimizer constraints)
+          Fd(u,d) >= 0, Gd(u,d) == 0      (maximizer constraints)
+
+TPU-native fusion of the reference's symbolic formulation
+(lib/ipmPDminmax_CS.m: saddle KKT matrix with -addEye2HessianD on the
+maximizer block, validation that minimizer constraints are independent of
+maximizer variables) and its driver loop (lib/ipmPDminmax_CSsolver.c:
+direction-error-gated adaptation of the D-regularization with factor 2 up
+to 1e-2, fraction-to-boundary line search, and the same mu schedule as
+the minimize solver).  Math in doc/ipm.tex:598-1150.
+
+The saddle Lagrangian is  Lf = f + nuU'Gu + nuD'Gd - lambdaU'Fu + lambdaD'Fd
+(signs per ipmPDminmax_CS.m:148-160: the maximizer's inequality multiplier
+enters with + because d maximizes f).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Mapping, NamedTuple, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..expr import Constraint, Expr, Variable
+from ..kkt.dense import ldl_factor, ldl_solve
+from ..pack import Packing
+from .options import SolverOptions
+from .solver import (
+    STEPBACK,
+    IPMResult,
+    _clp,
+    _norminf,
+    line_search_combined,
+)
+from .status import describe_status
+
+# reference constants (ipmPDminmax_CSsolver.c:313-316)
+ADD_MAX = 1e-2
+ADD_MIN = 1e-20
+MAX_DIRECTION_ERROR = 1e-9
+MAX_ADAPT_STEPS = 20
+
+
+class MinMaxState(NamedTuple):
+    z: jax.Array          # packed [u; d]
+    nu: jax.Array         # [nuU; nuD]
+    lam: jax.Array        # [lambdaU; lambdaD]
+    mu: jax.Array
+    addD: jax.Array       # adapted regularization (addEye2Hessian2)
+    addD_next: jax.Array
+    alphaPrimal: jax.Array
+    alphaDualIneq: jax.Array
+    alphaDualEq: jax.Array
+    status: jax.Array
+    it: jax.Array
+    done: jax.Array
+
+
+def build_minmax_ipm(fns, nUu, nD, nFu, nFd, nGu, nGd, opts: SolverOptions):
+    """fns: namedtuple-ish with f(z,penv), Fu, Fd, Gu, Gd all (z,penv)->vec."""
+    dt = opts.np_dtype
+    nZ = nUu + nD
+    nF = nFu + nFd
+    nG = nGu + nGd
+    nK = nZ + nG + nF
+    I_G = jnp.eye(nG, dtype=dt)
+
+    diagU = jnp.concatenate(
+        [jnp.ones((nUu,), dt), jnp.zeros((nD,), dt)]
+    )  # +addU on the u block
+    diagD = jnp.concatenate(
+        [jnp.zeros((nUu,), dt), jnp.ones((nD,), dt)]
+    )  # -addD on the d block
+
+    def scaled_fns(penv, sFu, sFd, scale_cost):
+        def f(z):
+            return scale_cost * fns.f(z, penv)
+
+        def Fu(z):
+            return sFu * fns.Fu(z, penv) if nFu else jnp.zeros((0,), dt)
+
+        def Fd(z):
+            return sFd * fns.Fd(z, penv) if nFd else jnp.zeros((0,), dt)
+
+        def Gall(z):
+            gu = fns.Gu(z, penv) if nGu else jnp.zeros((0,), dt)
+            gd = fns.Gd(z, penv) if nGd else jnp.zeros((0,), dt)
+            return jnp.concatenate([gu, gd])
+
+        def Fall(z):
+            return jnp.concatenate([Fu(z), Fd(z)])
+
+        def lagrangian(z, nu, lam):
+            val = f(z)
+            if nG:
+                val = val + nu @ Gall(z)
+            if nFu:
+                val = val - lam[:nFu] @ Fu(z)
+            if nFd:
+                val = val + lam[nFu:] @ Fd(z)
+            return val
+
+        return f, Fu, Fd, Fall, Gall, lagrangian
+
+    def compute_direction(z, nu, lam, mu, addU, addD, addEq, penv, sFu, sFd, sc):
+        f, Fu, Fd, Fall, Gall, lagr = scaled_fns(penv, sFu, sFd, sc)
+        grad_z = jax.grad(lagr, argnums=0)(z, nu, lam)
+        H = jax.jacfwd(jax.grad(lagr, argnums=0), argnums=0)(z, nu, lam)
+        H = 0.5 * (H + H.T)
+        # saddle regularization: +addU on u block, -addD on d block
+        # (ipmPDminmax_CS.m:214-216)
+        WWUD = H + jnp.diag(addU * diagU - addD * diagD)
+        Gz = jax.jacfwd(Gall)(z) if nG else jnp.zeros((0, nZ), dt)
+        Fuz = jax.jacfwd(Fu)(z) if nFu else jnp.zeros((0, nZ), dt)
+        Fdz = jax.jacfwd(Fd)(z) if nFd else jnp.zeros((0, nZ), dt)
+        Fz_signed = jnp.concatenate([-Fuz, Fdz], axis=0)
+        Fuv, Fdv = Fu(z), Fd(z)
+        Gv = Gall(z)
+        lamU, lamD = lam[:nFu], lam[nFu:]
+
+        d3 = jnp.concatenate([-Fuv / lamU, Fdv / lamD])
+        row1 = jnp.concatenate([WWUD, Gz.T, Fz_signed.T], axis=1)
+        row2 = jnp.concatenate(
+            [Gz, -addEq * I_G, jnp.zeros((nG, nF), dt)], axis=1
+        )
+        row3 = jnp.concatenate(
+            [Fz_signed, jnp.zeros((nF, nG), dt), jnp.diag(d3)], axis=1
+        )
+        WW = jnp.concatenate([row1, row2, row3], axis=0)
+        b = jnp.concatenate(
+            [
+                -grad_z,
+                -Gv,
+                Fuv - mu / lamU,
+                -Fdv + mu / lamD,
+            ]
+        )
+        L, dfac = ldl_factor(WW, block=opts.ldl_block)
+        dx = ldl_solve(L, dfac, b)
+        derr = _norminf(WW @ dx - b)
+        return dx, derr, grad_z, jnp.concatenate([Fuz, Fdz], axis=0), jnp.concatenate([Fuv, Fdv]), Gv
+
+    def solve(z0, penv, mu0=1.0, max_iter=None, addU0=1e-9, addD0=1e-9,
+              addEq0=1e-9) -> IPMResult:
+        max_iter_v = jnp.asarray(
+            opts.maxIter if max_iter is None else max_iter, jnp.int32
+        )
+        z0 = jnp.asarray(z0, dt)
+        mu0 = jnp.asarray(mu0, dt)
+        addU = jnp.asarray(addU0 if opts.addEye2Hessian else 0.0, dt)
+        addD0 = jnp.asarray(addD0 if opts.addEye2Hessian else 0.0, dt)
+        addEq = jnp.asarray(addEq0 if opts.addEye2Hessian else 0.0, dt)
+
+        # scaling at the initial point (ipmPDminmax_CS.m:58-82)
+        if nFu and opts.scaleInequalities:
+            sFu = jnp.abs(1.0 / fns.Fu(z0, penv)).astype(dt)
+        else:
+            sFu = jnp.ones((nFu,), dt)
+        if nFd and opts.scaleInequalities:
+            sFd = jnp.abs(1.0 / fns.Fd(z0, penv)).astype(dt)
+        else:
+            sFd = jnp.ones((nFd,), dt)
+        if opts.scaleCost > 0:
+            sc = jnp.abs(opts.scaleCost / fns.f(z0, penv)).astype(dt)
+        else:
+            sc = jnp.ones((), dt)
+
+        f, Fu, Fd, Fall, Gall, lagr = scaled_fns(penv, sFu, sFd, sc)
+
+        desired_gap = (
+            opts.desiredDualityGap * sc
+            if opts.scaleCost > 0
+            else jnp.asarray(opts.desiredDualityGap, dt)
+        )
+        mu_min = desired_gap / max(nF, 1) / 2.0
+
+        lam0 = mu0 / Fall(z0) if nF else jnp.zeros((0,), dt)
+        nu0 = jnp.ones((nG,), dt)
+
+        st0 = MinMaxState(
+            z=z0, nu=nu0, lam=lam0, mu=mu0,
+            addD=addD0, addD_next=addD0,
+            alphaPrimal=jnp.zeros((), dt),
+            alphaDualIneq=jnp.zeros((), dt),
+            alphaDualEq=jnp.zeros((), dt),
+            status=jnp.zeros((), jnp.int32),
+            it=jnp.zeros((), jnp.int32),
+            done=jnp.asarray(False),
+        )
+
+        def exit_metrics(st):
+            grad_z = jax.grad(lagr, argnums=0)(st.z, st.nu, st.lam)
+            g = _norminf(grad_z)
+            eq = _norminf(Gall(st.z))
+            Fv = Fall(st.z)
+            if nF:
+                gap = st.lam @ Fv
+                ineq = jnp.min(Fv)
+                dual = jnp.min(st.lam)
+            else:
+                gap = jnp.zeros((), dt)
+                ineq = jnp.asarray(jnp.inf, dt)
+                dual = jnp.asarray(jnp.inf, dt)
+            return g, eq, gap, ineq, dual
+
+        def body(st):
+            return lax.cond(st.done, lambda s: s, _step, st)
+
+        def _step(st):
+            it = st.it + 1
+            addD = st.addD_next
+            g, eq, gap, ineq, dual = exit_metrics(st)
+
+            status = jnp.zeros((), jnp.int32)
+            fail_maxiter = it > max_iter_v
+            status = jnp.where(fail_maxiter, 8, status)
+            fail_nan = jnp.isnan(g)
+            status = jnp.where(fail_nan & (status == 0), 4, status)
+            fail_ineq = jnp.asarray(False) if nF == 0 else (ineq <= 0)
+            status = jnp.where(fail_ineq & (status == 0), 1, status)
+            fail_dual = jnp.asarray(False) if nF == 0 else (dual <= 0)
+            status = jnp.where(fail_dual & (status == 0), 2, status)
+
+            converged = g <= opts.gradTolerance
+            if nF:
+                converged &= gap <= desired_gap
+            if nG:
+                converged &= eq <= opts.equalTolerance
+            if opts.addEye2Hessian and opts.adjustAddEye2Hessian:
+                converged &= addU <= opts.addEye2HessianUtolerance
+            early = fail_maxiter | fail_nan | fail_ineq | fail_dual | converged
+
+            def stop(_):
+                return st._replace(
+                    it=it, addD=addD, addD_next=addD,
+                    status=status, done=jnp.asarray(True),
+                )
+
+            def iterate(_):
+                return _iterate(st._replace(it=it, addD=addD), g, eq, gap)
+
+            return lax.cond(early, stop, iterate, None)
+
+        def _iterate(st, g, eq, gap):
+            z, nu, lam, mu, addD = st.z, st.nu, st.lam, st.mu, st.addD
+
+            dx, derr, grad_z, Fz, Fv, Gv = compute_direction(
+                z, nu, lam, mu, addU, addD, addEq, penv, sFu, sFd, sc
+            )
+
+            addD_next = addD
+            if opts.addEye2Hessian and opts.adjustAddEye2Hessian:
+                # derr-gated adaptation of addEye2Hessian2 (= addD here),
+                # ipmPDminmax_CSsolver.c:330-372: decrease delayed when the
+                # direction is accurate, else increase x2 (re-solving) up
+                # to 20 times until accurate or at the cap.
+                good = derr < MAX_DIRECTION_ERROR
+                addD_next = jnp.where(
+                    good & (addD > ADD_MIN),
+                    jnp.maximum(0.75 * addD, ADD_MIN),
+                    addD,
+                )
+
+                def adapt_cond(carry):
+                    k, aD, dx_, derr_ = carry
+                    return (
+                        (k < MAX_ADAPT_STEPS)
+                        & (derr_ >= MAX_DIRECTION_ERROR)
+                        & (aD < ADD_MAX)
+                    )
+
+                def adapt_body(carry):
+                    k, aD, dx_, derr_ = carry
+                    aD = jnp.minimum(2.0 * jnp.maximum(aD, ADD_MIN), ADD_MAX)
+                    dx2, derr2, *_ = compute_direction(
+                        z, nu, lam, mu, addU, aD, addEq, penv, sFu, sFd, sc
+                    )
+                    return k + 1, aD, dx2, derr2
+
+                k0 = jnp.zeros((), jnp.int32)
+                _, addD_new, dx_new, derr_new = lax.while_loop(
+                    adapt_cond, adapt_body, (k0, addD, dx, derr)
+                )
+                changed = addD_new != addD
+                addD = jnp.where(changed, addD_new, addD)
+                addD_next = jnp.where(changed, addD_new, addD_next)
+                dx = jnp.where(changed, dx_new, dx)
+                derr = jnp.where(changed, derr_new, derr)
+
+            dZ = dx[:nZ]
+            dNu = dx[nZ : nZ + nG]
+            dLam = dx[nZ + nG :]
+
+            def minF_at(alpha):
+                return jnp.min(Fall(z + alpha * dZ)) if nF else jnp.asarray(jnp.inf, dt)
+
+            nan_fail = jnp.asarray(False)
+            if nF == 0:
+                alphaPrimal = jnp.asarray(opts.alphaMax, dt)
+                alphaDualEq = jnp.asarray(opts.alphaMax, dt)
+                alphaDualIneq = jnp.zeros((), dt)
+                new_z = z + alphaPrimal * dZ
+                new_nu = nu + alphaDualEq * dNu
+                new_lam = lam
+                new_mu = mu
+            else:
+                maxAlphaP = _clp(Fv, Fz @ dZ)
+                maxAlphaDI = _clp(lam, dLam)
+                alphaP = maxAlphaP
+                if opts.coupledAlphas:
+                    alphaP = jnp.minimum(alphaP, maxAlphaDI)
+                alpha_bt = jnp.minimum(alphaP * STEPBACK, opts.alphaMax)
+                alphaPrimal, nan_fail = line_search_combined(
+                    minF_at, alpha_bt, opts, dt
+                )
+                if opts.coupledAlphas:
+                    alphaDualIneq = alphaPrimal
+                    alphaDualEq = alphaPrimal
+                else:
+                    alphaDualIneq = jnp.minimum(maxAlphaDI * STEPBACK, alpha_bt)
+                    alphaDualEq = alphaDualIneq
+
+                new_z = z + alphaPrimal * dZ
+                new_nu = nu + alphaDualEq * dNu
+                new_lam = lam + alphaDualIneq * dLam
+
+                # mu schedule, identical to the minimize driver
+                # (ipmPDminmax_CSsolver.c:609-676)
+                th_grad = g < jnp.maximum(1e-6, opts.gradTolerance)
+                th_eq = (
+                    jnp.asarray(True)
+                    if nG == 0
+                    else eq < jnp.maximum(1e-5, opts.equalTolerance)
+                )
+                aggressive = (alphaPrimal > alpha_bt / 2) & th_grad & th_eq
+                mu_aggr = jnp.maximum(
+                    mu * jnp.minimum(opts.muFactorAggressive, jnp.sqrt(mu)),
+                    mu_min,
+                )
+                tiny = alphaPrimal < 0.1
+                mu_tiny = jnp.minimum(mu * 1.1, mu0)
+                conservative = (alphaPrimal > 0.99) & th_eq
+                mu_cons = jnp.maximum(mu * opts.muFactorConservative, mu_min)
+                new_mu = jnp.where(
+                    aggressive, mu_aggr,
+                    jnp.where(tiny, mu_tiny, jnp.where(conservative, mu_cons, mu)),
+                )
+                new_lam = jnp.where(tiny, mu_tiny / Fall(new_z), new_lam)
+                stalled = (
+                    (alphaPrimal < opts.alphaMin)
+                    & (alphaDualIneq < opts.alphaMin)
+                    & (alphaDualEq < opts.alphaMin)
+                )
+                new_mu = jnp.where(
+                    stalled,
+                    jnp.maximum(new_mu / opts.muFactorConservative**2, mu_min),
+                    new_mu,
+                )
+
+            status = jnp.where(nan_fail, 4, 0).astype(jnp.int32)
+            done = nan_fail
+            return MinMaxState(
+                z=jnp.where(done, z, new_z),
+                nu=jnp.where(done, nu, new_nu) if nG else nu,
+                lam=jnp.where(done, lam, new_lam) if nF else lam,
+                mu=new_mu,
+                addD=addD,
+                addD_next=addD_next,
+                alphaPrimal=alphaPrimal if nF else jnp.asarray(opts.alphaMax, dt),
+                alphaDualIneq=alphaDualIneq if nF else jnp.zeros((), dt),
+                alphaDualEq=alphaDualEq if nF else jnp.asarray(opts.alphaMax, dt),
+                status=status,
+                it=st.it,
+                done=done,
+            )
+
+        final = lax.while_loop(lambda s: ~s.done, body, st0)
+
+        g, eq, gap, ineq, dual = exit_metrics(final)
+        status = final.status
+        is8 = status == 8
+
+        def add_flag(cond, flag, s):
+            return jnp.where(is8 & cond, s | flag, s)
+
+        status = add_flag(g > opts.gradTolerance, 16, status)
+        if nG:
+            status = add_flag(eq > opts.equalTolerance, 32, status)
+        if nF:
+            status = add_flag(gap > desired_gap, 64, status)
+            status = add_flag(final.mu > mu_min, 128, status)
+            aP, aDI, aDE = (
+                final.alphaPrimal, final.alphaDualIneq, final.alphaDualEq
+            )
+            negl = (aP <= opts.alphaMin) & (aDI < opts.alphaMin) & (aDE < opts.alphaMin)
+            small_a = (aP <= 0.1) & (aDI < 0.1) & (aDE < 0.1)
+            med_a = (aP <= 0.5) & (aDI < 0.5) & (aDE < 0.5)
+            status = add_flag(negl, 1792, status)
+            status = add_flag(~negl & small_a, 1536, status)
+            status = add_flag(~negl & ~small_a & med_a, 1024, status)
+
+        return IPMResult(
+            u=final.z,
+            nu=final.nu,
+            lam=final.lam,
+            mu=final.mu,
+            status=status,
+            iters=final.it,
+            norminf_grad=g,
+            norminf_eq=eq,
+            gap=gap,
+            f=f(final.z) / sc,
+            addU=addU,
+            addEq=final.addD,
+        )
+
+    return solve
+
+
+class _MinMaxFns(NamedTuple):
+    f: Any
+    Fu: Any
+    Fd: Any
+    Gu: Any
+    Gd: Any
+
+
+class MinMaxSolver:
+    """min-max solver instance (reference: cmex2minmaxCS / class2minmaxCS,
+    lib/cmex2minmaxCS.m:9-26)."""
+
+    def __init__(
+        self,
+        objective: Expr,
+        minOptimizationVariables: Sequence[Variable],
+        maxOptimizationVariables: Sequence[Variable],
+        minConstraints: Sequence[Constraint] = (),
+        maxConstraints: Sequence[Constraint] = (),
+        parameters: Sequence[Variable] = (),
+        outputExpressions: Optional[Mapping[str, Expr]] = None,
+        options: Optional[SolverOptions] = None,
+        **option_kwargs,
+    ):
+        from ..api import _ensure_x64, _split_constraints, _stack_eval, Solution
+
+        self.opts = (options or SolverOptions()).replace(**option_kwargs)
+        _ensure_x64(self.opts)
+        dt = self.opts.np_dtype
+
+        self.min_vars = list(minOptimizationVariables)
+        self.max_vars = list(maxOptimizationVariables)
+        self.parameters = list(parameters)
+        self.outputExpressions = dict(outputExpressions or {})
+        self.pack_u = Packing(self.min_vars)
+        self.pack_d = Packing(self.max_vars)
+
+        Fu_e, Gu_e = _split_constraints(minConstraints)
+        Fd_e, Gd_e = _split_constraints(maxConstraints)
+
+        # minimizer constraints must not depend on maximizer variables
+        # (reference validation, ipmPDminmax_CS.m:88-98)
+        dnames = set(self.pack_d.names)
+        for e in Fu_e + Gu_e:
+            bad = e.deps & dnames
+            if bad:
+                raise ValueError(
+                    "minimizer constraints cannot depend on maximizer "
+                    f"optimization variables (found {sorted(bad)})"
+                )
+
+        self.nUu = self.pack_u.total
+        self.nD = self.pack_d.total
+        self.nFu = int(sum(e.size for e in Fu_e))
+        self.nFd = int(sum(e.size for e in Fd_e))
+        self.nGu = int(sum(e.size for e in Gu_e))
+        self.nGd = int(sum(e.size for e in Gd_e))
+
+        pu, pd = self.pack_u, self.pack_d
+        nUu = self.nUu
+
+        def env_of(z, penv):
+            return {
+                **penv,
+                **pu.unpack(z[:nUu]),
+                **pd.unpack(z[nUu:]),
+            }
+
+        def mk(exprs):
+            def fn(z, penv):
+                return _stack_eval(exprs, env_of(z, penv)).astype(dt)
+
+            return fn
+
+        def f_fn(z, penv):
+            return jnp.asarray(objective(env_of(z, penv)), dt).reshape(())
+
+        self._fns = _MinMaxFns(
+            f=f_fn, Fu=mk(Fu_e), Fd=mk(Fd_e), Gu=mk(Gu_e), Gd=mk(Gd_e)
+        )
+        self._solve_raw = build_minmax_ipm(
+            self._fns, self.nUu, self.nD, self.nFu, self.nFd,
+            self.nGu, self.nGd, self.opts,
+        )
+        self._solve_jit = jax.jit(self._solve_raw)
+        self._Solution = Solution
+
+    def _param_env(self, parameters):
+        parameters = dict(parameters or {})
+        dt = self.opts.np_dtype
+        env = {}
+        for p in self.parameters:
+            if p.name not in parameters:
+                raise ValueError(f"missing parameter {p.name!r}")
+            v = jnp.asarray(parameters[p.name], dt)
+            if tuple(v.shape) != p.shape:
+                raise ValueError(
+                    f"parameter {p.name!r}: expected shape {p.shape}, got {tuple(v.shape)}"
+                )
+            env[p.name] = v
+        return env
+
+    def solve(
+        self,
+        parameters=None,
+        init=None,
+        mu0: float = 1.0,
+        max_iter: Optional[int] = None,
+        addEye2Hessian=(1e-9, 1e-9, 1e-9),
+    ):
+        import time as _time
+
+        dt = self.opts.np_dtype
+        penv = self._param_env(parameters)
+        init = dict(init or {})
+        env = {
+            v.name: jnp.asarray(init.get(v.name, jnp.zeros(v.shape)), dt)
+            for v in self.min_vars + self.max_vars
+        }
+        z0 = jnp.concatenate(
+            [self.pack_u.pack(env, dtype=dt), self.pack_d.pack(env, dtype=dt)]
+        )
+        t0 = _time.perf_counter()
+        res = self._solve_jit(
+            z0, penv, mu0,
+            self.opts.maxIter if max_iter is None else max_iter,
+            addEye2Hessian[0], addEye2Hessian[1], addEye2Hessian[2],
+        )
+        res = jax.tree.map(lambda x: x.block_until_ready(), res)
+        elapsed = _time.perf_counter() - t0
+
+        z = res.u
+        var_env = {
+            **self.pack_u.unpack(z[: self.nUu]),
+            **self.pack_d.unpack(z[self.nUu :]),
+        }
+        out_env = {**penv, **var_env, "mu_": res.mu, "lambda_": res.lam, "nu_": res.nu}
+        outputs = {
+            name: np.asarray(e(out_env)) if isinstance(e, Expr) else e
+            for name, e in self.outputExpressions.items()
+        }
+        return self._Solution(
+            status=int(res.status),
+            iters=int(res.iters),
+            outputs=outputs,
+            variables={k: np.asarray(v) for k, v in var_env.items()},
+            mu=float(res.mu),
+            norminf_grad=float(res.norminf_grad),
+            norminf_eq=float(res.norminf_eq),
+            gap=float(res.gap),
+            objective=float(res.f),
+            lam=np.asarray(res.lam),
+            nu=np.asarray(res.nu),
+            time=elapsed,
+        )

@@ -101,6 +101,55 @@ def _clp(x, dx):
     return jnp.min(ratio)
 
 
+def line_search_combined(minF_of_alpha, alpha_bt, opts: SolverOptions, dt):
+    """Combined-direction backtracking search over a batched alpha grid.
+
+    ``alpha_bt`` is alphaMax_ = min(stepback*maxAlpha, opts.alphaMax).
+    Returns (alpha, nan_fail).  Replicates the acceptance logic of
+    lib/ipmPD_CSsolver.c:679-756: try the max (with the stepback re-check
+    ineq1 > ineq/10), then probe alphaMin, then walk a geometric grid.
+    """
+    s = STEPBACK
+    K = opts.linesearch_points
+    a1 = alpha_bt / s
+    grid = alpha_bt * 0.95 / (2.0 ** jnp.arange(K, dtype=dt))
+    cands = jnp.concatenate([jnp.array([a1, opts.alphaMin / s], dtype=dt), grid])
+    vals = jax.vmap(minF_of_alpha)(cands)
+    vals_sb = jax.vmap(minF_of_alpha)(cands * s)
+    ineq_a1, ineq_min = vals[0], vals[1]
+    ineq1_a1 = vals_sb[0]
+    nan_fail = jnp.isnan(ineq_a1)
+    accept_max = (ineq_a1 > 0) & (ineq1_a1 > ineq_a1 / 10.0)
+    gv, gs = vals[2:], vals_sb[2:]
+    ok = (gv > 0) & (gs > gv / 10.0) & (grid >= opts.alphaMin)
+    has = jnp.any(ok)
+    first = jnp.argmax(ok)
+    grid_alpha = jnp.where(has, grid[first] * s, 0.0)
+    alpha_else = jnp.where(ineq_min > 0, grid_alpha, 0.0)
+    alpha = jnp.where(accept_max, a1 * s, alpha_else)
+    alpha = jnp.where(alpha_bt >= opts.alphaMin, alpha, 0.0)
+    return alpha.astype(dt), nan_fail
+
+
+def line_search_affine(minF_of_alpha, alpha_max_, opts: SolverOptions, dt):
+    """Affine-direction search (lib/ipmPD_CSsolver.c:583-631)."""
+    K = opts.linesearch_points
+    grid = alpha_max_ * 0.95 / (2.0 ** jnp.arange(K, dtype=dt))
+    cands = jnp.concatenate(
+        [jnp.array([alpha_max_, opts.alphaMin], dtype=dt), grid]
+    )
+    vals = jax.vmap(minF_of_alpha)(cands)
+    ok_max = vals[0] >= 0
+    ok_min = vals[1] > 0
+    ok = (vals[2:] >= 0) & (grid >= opts.alphaMin)
+    has = jnp.any(ok)
+    first = jnp.argmax(ok)
+    grid_alpha = jnp.where(has, grid[first], 0.0)
+    alpha = jnp.where(ok_max, alpha_max_, jnp.where(ok_min, grid_alpha, 0.0))
+    alpha = jnp.where(alpha_max_ >= opts.alphaMin, alpha, 0.0)
+    return alpha.astype(dt)
+
+
 def build_ipm(
     fns: IPMFunctions,
     nU: int,
@@ -285,47 +334,10 @@ def build_ipm(
     # batched backtracking line search (lib/ipmPD_CSsolver.c:679-756)
     # ------------------------------------------------------------------
     def line_search_s(minF_of_alpha, alpha_bt):
-        """Combined-direction search.  ``alpha_bt`` is alphaMax_ =
-        min(stepback*maxAlpha, opts.alphaMax).  Returns (alpha, nan_fail).
-        """
-        s = STEPBACK
-        K = opts.linesearch_points
-        a1 = alpha_bt / s
-        grid = alpha_bt * 0.95 / (2.0 ** jnp.arange(K, dtype=dt))
-        cands = jnp.concatenate([jnp.array([a1, opts.alphaMin / s], dtype=dt), grid])
-        vals = jax.vmap(minF_of_alpha)(cands)
-        vals_sb = jax.vmap(minF_of_alpha)(cands * s)
-        ineq_a1, ineq_min = vals[0], vals[1]
-        ineq1_a1 = vals_sb[0]
-        nan_fail = jnp.isnan(ineq_a1)
-        accept_max = (ineq_a1 > 0) & (ineq1_a1 > ineq_a1 / 10.0)
-        gv, gs = vals[2:], vals_sb[2:]
-        ok = (gv > 0) & (gs > gv / 10.0) & (grid >= opts.alphaMin)
-        has = jnp.any(ok)
-        first = jnp.argmax(ok)
-        grid_alpha = jnp.where(has, grid[first] * s, 0.0)
-        alpha_else = jnp.where(ineq_min > 0, grid_alpha, 0.0)
-        alpha = jnp.where(accept_max, a1 * s, alpha_else)
-        alpha = jnp.where(alpha_bt >= opts.alphaMin, alpha, 0.0)
-        return alpha.astype(dt), nan_fail
+        return line_search_combined(minF_of_alpha, alpha_bt, opts, dt)
 
     def line_search_a(minF_of_alpha, alpha_max_):
-        """Affine-direction search (lib/ipmPD_CSsolver.c:583-631)."""
-        K = opts.linesearch_points
-        grid = alpha_max_ * 0.95 / (2.0 ** jnp.arange(K, dtype=dt))
-        cands = jnp.concatenate(
-            [jnp.array([alpha_max_, opts.alphaMin], dtype=dt), grid]
-        )
-        vals = jax.vmap(minF_of_alpha)(cands)
-        ok_max = vals[0] >= 0
-        ok_min = vals[1] > 0
-        ok = (vals[2:] >= 0) & (grid >= opts.alphaMin)
-        has = jnp.any(ok)
-        first = jnp.argmax(ok)
-        grid_alpha = jnp.where(has, grid[first], 0.0)
-        alpha = jnp.where(ok_max, alpha_max_, jnp.where(ok_min, grid_alpha, 0.0))
-        alpha = jnp.where(alpha_max_ >= opts.alphaMin, alpha, 0.0)
-        return alpha.astype(dt)
+        return line_search_affine(minF_of_alpha, alpha_max_, opts, dt)
 
     # ------------------------------------------------------------------
     # the driver loop
@@ -422,6 +434,12 @@ def build_ipm(
             return norminf_grad, norminf_eq, gap, ineq, dual
 
         def body(st: IPMState) -> IPMState:
+            # Under vmap, the batched while_loop keeps stepping until every
+            # instance is done; finished instances must be frozen exactly
+            # (iteration count, status, iterates all stay theirs).
+            return lax.cond(st.done, lambda s: s, _step, st)
+
+        def _step(st: IPMState) -> IPMState:
             it = st.it + 1
             # apply delayed regularization updates
             # (lib/ipmPD_CSsolver.c:396-405)

@@ -1,0 +1,152 @@
+"""Batched + sharded solve tests on the 8-device virtual CPU mesh
+(SURVEY.md §2.9: vmap over problem instances, shard_map over chips)."""
+
+import sys
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import tenscalc_tpu as tc
+from tenscalc_tpu.parallel import make_mesh, solve_batched
+
+
+@pytest.fixture(scope="module")
+def qp_solver():
+    n = 6
+    Q = tc.variable("bQ", (n, n))
+    c = tc.variable("bc", (n,))
+    x = tc.variable("bx", (n,))
+    J = 0.5 * tc.tprod(x, [-1], Q @ x, [-1]) + tc.tprod(c, [-1], x, [-1])
+    return tc.optimize(
+        objective=J,
+        optimizationVariables=[x],
+        constraints=[x >= -1.0, x <= 1.0],
+        parameters=[Q, c],
+        outputExpressions={"x": x},
+    ), n
+
+
+def _batch_data(n, B, seed=0):
+    rng = np.random.default_rng(seed)
+    Qs = np.zeros((B, n, n))
+    cs = rng.standard_normal((B, n))
+    for b in range(B):
+        M = rng.standard_normal((n, n))
+        Qs[b] = M @ M.T + n * np.eye(n)
+    return Qs, cs
+
+
+def _oracle(Q, c):
+    from scipy.optimize import minimize as sp_minimize
+
+    res = sp_minimize(
+        lambda xv: 0.5 * xv @ Q @ xv + c @ xv,
+        np.zeros(Q.shape[0]),
+        jac=lambda xv: Q @ xv + c,
+        bounds=[(-1, 1)] * Q.shape[0],
+        method="L-BFGS-B",
+        tol=1e-12,
+    )
+    return res.x
+
+
+def test_vmap_batch(qp_solver):
+    solver, n = qp_solver
+    B = 8
+    Qs, cs = _batch_data(n, B)
+    res = solve_batched(
+        solver, {"bQ": Qs, "bc": cs},
+        inits={"bx": np.zeros((B, n))},
+    )
+    assert res.status.shape == (B,)
+    assert (np.asarray(res.status) == 0).all(), res.status
+    for b in range(B):
+        np.testing.assert_allclose(
+            np.asarray(res.u[b]), _oracle(Qs[b], cs[b]), atol=1e-4
+        )
+    # per-instance iteration counts stay individual (finished instances
+    # are frozen while the batched loop drains the rest)
+    singles = [
+        solver.solve(
+            {"bQ": Qs[b], "bc": cs[b]}, init={"bx": np.zeros(n)}
+        ).iters
+        for b in range(B)
+    ]
+    np.testing.assert_array_equal(np.asarray(res.iters), singles)
+
+
+def test_shard_map_mesh(qp_solver):
+    """Sharded over the 8 virtual devices — results identical to the
+    unsharded batch."""
+    solver, n = qp_solver
+    assert len(jax.devices()) == 8, "conftest should provide 8 cpu devices"
+    mesh = make_mesh(8)
+    B = 16
+    Qs, cs = _batch_data(n, B, seed=1)
+    res_sharded = solve_batched(
+        solver, {"bQ": Qs, "bc": cs},
+        inits={"bx": np.zeros((B, n))},
+        mesh=mesh,
+    )
+    res_plain = solve_batched(
+        solver, {"bQ": Qs, "bc": cs},
+        inits={"bx": np.zeros((B, n))},
+    )
+    assert (np.asarray(res_sharded.status) == 0).all()
+    np.testing.assert_allclose(
+        np.asarray(res_sharded.u), np.asarray(res_plain.u), atol=1e-10
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res_sharded.iters), np.asarray(res_plain.iters)
+    )
+
+
+def test_batched_mpc():
+    """Batched MPC solves — the Tmpc-fleet pattern (SURVEY.md §2.9)."""
+    from examples import mpc_dcmotor
+
+    T = 10
+    solver = mpc_dcmotor.build_solver(T=T, namespace="pb_")
+    base = mpc_dcmotor.default_params(T, "pb_")
+    B = 4
+    rng = np.random.default_rng(0)
+    params = {}
+    for k, v in base.items():
+        arr = np.asarray(v, float)
+        params[k] = np.broadcast_to(arr, (B,) + arr.shape).copy()
+    refs = np.stack(
+        [
+            mpc_dcmotor.reference_signal(t0 + np.arange(T) * 0.1)[None, :]
+            for t0 in np.linspace(0, 3, B)
+        ]
+    )
+    params["pb_ref"] = refs
+    params["pb_xinit"] = rng.uniform(-0.1, 0.1, (B, 2, 1))
+    inits = {
+        "pb_x": params["pb_xinit"] + 0.01 * rng.random((B, 2, T)),
+        "pb_u": 0.01 * rng.random((B, 1, T - 1)),
+    }
+    res = solve_batched(solver, params, inits=inits, mu0=1e-3, max_iter=100)
+    assert (np.asarray(res.status) == 0).all(), res.status
+    # verify each against its own single solve
+    for b in range(B):
+        single = solver.solve(
+            {k: v[b] for k, v in params.items()},
+            init={k: v[b] for k, v in inits.items()},
+            mu0=1e-3,
+            max_iter=100,
+        )
+        # batched XLA reduction orders differ slightly from single-solve;
+        # both land on the optimum within solver tolerance
+        np.testing.assert_allclose(
+            np.asarray(res.u[b]),
+            np.concatenate(
+                [single.variables["pb_u"].ravel(), single.variables["pb_x"].ravel()]
+            ),
+            atol=1e-4,
+        )
