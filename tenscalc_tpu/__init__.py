@@ -66,6 +66,11 @@ from .ops.tseries import (
 from .ipm.options import SolverOptions
 from .ipm.status import SolverStatus, describe_status
 from .api import optimize, minmax, equilibrium, compute
+from .apps.mpc import Mpc
+from .apps.mpcmhe import Mpcmhe
+from .apps.lasso import Lasso
+from .apps.nlss import NLSS
+from .apps.sysid import Sysid, ParameterSpec
 
 __version__ = "0.1.0"
 
@@ -114,4 +119,10 @@ __all__ = [
     "minmax",
     "equilibrium",
     "compute",
+    "Mpc",
+    "Mpcmhe",
+    "Lasso",
+    "NLSS",
+    "Sysid",
+    "ParameterSpec",
 ]

@@ -153,9 +153,11 @@ def build_equilibrium_ipm(fns: _EqFns, dims, opts: SolverOptions):
         b = jnp.concatenate(
             [-sv, -Gv, -Fv + mu / lam if nF else jnp.zeros((0,), dt)]
         )
-        # unsymmetric system -> pivoted LU (reference default useLDL=false)
-        lu, piv = jax.scipy.linalg.lu_factor(WW)
-        dx = jax.scipy.linalg.lu_solve((lu, piv), b)
+        # unsymmetric system -> pivoted LU (reference default useLDL=false);
+        # on TPU this runs as f32 LU + f64 iterative refinement
+        from ..kkt.dense import lu_solve_mixed
+
+        dx = lu_solve_mixed(WW, b)
         derr = _norminf(WW @ dx - b)
         return dx, derr, sv, Fz, Fv, Gv
 

@@ -250,48 +250,56 @@ def build_minmax_ipm(fns, nUu, nD, nFu, nFd, nGu, nGd, opts: SolverOptions):
         def _iterate(st, g, eq, gap):
             z, nu, lam, mu, addD = st.z, st.nu, st.lam, st.mu, st.addD
 
-            dx, derr, grad_z, Fz, Fv, Gv = compute_direction(
-                z, nu, lam, mu, addU, addD, addEq, penv, sFu, sFd, sc
-            )
+            def direction(aD):
+                return compute_direction(
+                    z, nu, lam, mu, addU, aD, addEq, penv, sFu, sFd, sc
+                )
 
-            addD_next = addD
-            if opts.addEye2Hessian and opts.adjustAddEye2Hessian:
+            if not (opts.addEye2Hessian and opts.adjustAddEye2Hessian):
+                dx, derr, grad_z, Fz, Fv, Gv = direction(addD)
+                addD_next = addD
+            else:
                 # derr-gated adaptation of addEye2Hessian2 (= addD here),
                 # ipmPDminmax_CSsolver.c:330-372: decrease delayed when the
                 # direction is accurate, else increase x2 (re-solving) up
-                # to 20 times until accurate or at the cap.
-                good = derr < MAX_DIRECTION_ERROR
-                addD_next = jnp.where(
-                    good & (addD > ADD_MIN),
-                    jnp.maximum(0.75 * addD, ADD_MIN),
-                    addD,
-                )
+                # to 20 times until accurate or at the cap.  Phrased as a
+                # solve-at-least-once while_loop so the KKT solve is traced
+                # exactly once.
+                shapes = jax.eval_shape(direction, addD)
+                zeros = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
 
                 def adapt_cond(carry):
-                    k, aD, dx_, derr_ = carry
-                    return (
-                        (k < MAX_ADAPT_STEPS)
-                        & (derr_ >= MAX_DIRECTION_ERROR)
-                        & (aD < ADD_MAX)
-                    )
+                    k, aD, res = carry
+                    first = k == 0
+                    bad = (res[1] >= MAX_DIRECTION_ERROR) & (aD < ADD_MAX)
+                    return first | (bad & (k <= MAX_ADAPT_STEPS))
 
                 def adapt_body(carry):
-                    k, aD, dx_, derr_ = carry
-                    aD = jnp.minimum(2.0 * jnp.maximum(aD, ADD_MIN), ADD_MAX)
-                    dx2, derr2, *_ = compute_direction(
-                        z, nu, lam, mu, addU, aD, addEq, penv, sFu, sFd, sc
+                    k, aD, _ = carry
+                    aD2 = jnp.where(
+                        k == 0,
+                        aD,
+                        jnp.minimum(2.0 * jnp.maximum(aD, ADD_MIN), ADD_MAX),
                     )
-                    return k + 1, aD, dx2, derr2
+                    res = direction(aD2)
+                    return k + 1, aD2, res
 
-                k0 = jnp.zeros((), jnp.int32)
-                _, addD_new, dx_new, derr_new = lax.while_loop(
-                    adapt_cond, adapt_body, (k0, addD, dx, derr)
+                k, addD_new, res = lax.while_loop(
+                    adapt_cond, adapt_body, (jnp.zeros((), jnp.int32), addD, zeros)
                 )
-                changed = addD_new != addD
+                dx, derr, grad_z, Fz, Fv, Gv = res
+                changed = k > 1
                 addD = jnp.where(changed, addD_new, addD)
-                addD_next = jnp.where(changed, addD_new, addD_next)
-                dx = jnp.where(changed, dx_new, dx)
-                derr = jnp.where(changed, derr_new, derr)
+                # delayed decrease only when the first direction was good
+                addD_next = jnp.where(
+                    changed,
+                    addD_new,
+                    jnp.where(
+                        (derr < MAX_DIRECTION_ERROR) & (addD > ADD_MIN),
+                        jnp.maximum(0.75 * addD, ADD_MIN),
+                        addD,
+                    ),
+                )
 
             dZ = dx[:nZ]
             dNu = dx[nZ : nZ + nG]

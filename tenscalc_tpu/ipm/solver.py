@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ..kkt.dense import ldl_factor, ldl_inertia, ldl_solve
+from ..kkt.dense import kkt_factorize, ldl_factor, ldl_inertia, ldl_solve
 from .options import SolverOptions
 
 STEPBACK = 0.99  # reference: stepback=.99, lib/ipmPD_CSsolver.c:174
@@ -233,12 +233,12 @@ def build_ipm(
             )
             r1 = -f_u - (Gu.T @ nu if nG > 0 else 0.0) + (Fu.T @ muF if nF > 0 else 0.0)
             b = jnp.concatenate([r1, -Gval])
-            L, d = _factor(WW)
+            fac = _factor(WW)
             if not opts.skipAffine:
                 b_a = jnp.concatenate(
                     [-f_u - (Gu.T @ nu if nG > 0 else 0.0), -Gval]
                 )
-                dx_a = ldl_solve(L, d, b_a)
+                dx_a = fac.solve(b_a)
                 dU_a = dx_a[:nU]
                 dLambda_a = (
                     -LPG @ dU_a - lam if nF > 0 else jnp.zeros((0,), dt)
@@ -246,7 +246,7 @@ def build_ipm(
                 # Mehrotra correction (lib/ipmPD_CS.m:319-322)
                 Meh = (Fu @ dU_a) * dLambda_a / Fval if nF > 0 else jnp.zeros((0,), dt)
                 b = b.at[:nU].add(-(Fu.T @ Meh) if nF > 0 else 0.0)
-            dx = ldl_solve(L, d, b)
+            dx = fac.solve(b)
             dU = dx[:nU]
             dNu = dx[nU:]
             if nF > 0:
@@ -277,8 +277,8 @@ def build_ipm(
                 )
                 WW = jnp.concatenate([row1, row2, row3], axis=0)
                 b = jnp.concatenate([-grad_u, -Gval, lam * Fval - mu * jnp.ones((nF,), dt)])
-                L, d = _factor(WW)
-                dx = ldl_solve(L, d, b)
+                fac = _factor(WW)
+                dx = fac.solve(b)
                 dU_a = jnp.zeros((nU,), dt)
                 dLambda_a = jnp.zeros((nF,), dt)
             else:
@@ -292,7 +292,7 @@ def build_ipm(
                     axis=1,
                 )
                 WW = jnp.concatenate([row1, row2, row3], axis=0)
-                L, d = _factor(WW)
+                fac = _factor(WW)
                 if opts.skipAffine:
                     b = jnp.concatenate(
                         [-grad_u, -Gval, Fval - mu / lam if nF > 0 else jnp.zeros((0,), dt)]
@@ -301,7 +301,7 @@ def build_ipm(
                     dLambda_a = jnp.zeros((nF,), dt)
                 else:
                     b_a = jnp.concatenate([-grad_u, -Gval, Fval])
-                    dx_a = ldl_solve(L, d, b_a)
+                    dx_a = fac.solve(b_a)
                     dU_a = dx_a[:nU]
                     dLambda_a = dx_a[nU + nG:]
                     corr = (
@@ -310,14 +310,14 @@ def build_ipm(
                         else jnp.zeros((0,), dt)
                     )
                     b = jnp.concatenate([-grad_u, -Gval, Fval + corr])
-                dx = ldl_solve(L, d, b)
+                dx = fac.solve(b)
             dU = dx[:nU]
             dNu = dx[nU : nU + nG]
             dLambda = dx[nU + nG :]
 
         derr = _norminf(WW @ dx - b)
         curvature = dU @ (WW11 @ dU)
-        mp, mn = ldl_inertia(d)
+        mp, mn = fac.inertia()
         return Direction(dU, dNu, dLambda, derr, curvature, mp, mn, dU_a, dLambda_a), (
             grad_u,
             Fu,
@@ -328,7 +328,7 @@ def build_ipm(
     def _factor(WW):
         if kkt_solver is not None:
             return kkt_solver(WW)
-        return ldl_factor(WW, block=opts.ldl_block)
+        return kkt_factorize(WW, need_inertia=opts.useInertia, block=opts.ldl_block)
 
     # ------------------------------------------------------------------
     # batched backtracking line search (lib/ipmPD_CSsolver.c:679-756)
@@ -395,8 +395,9 @@ def build_ipm(
             b0 = jnp.concatenate(
                 [(Fu0.T @ lam0 if nF > 0 else 0.0) - f_u0, jnp.zeros((nG,), dt)]
             )
-            L0f, d0f = ldl_factor(WW0, block=opts.ldl_block)
-            nu0 = ldl_solve(L0f, d0f, b0)[nU:]
+            from ..kkt.dense import lu_solve_mixed
+
+            nu0 = lu_solve_mixed(WW0, b0)[nU:]
         else:
             nu0 = jnp.zeros((0,), dt)
 
@@ -498,60 +499,89 @@ def build_ipm(
                     u, nu, lam, mu, aU, aE, penv, scale_ineq, scale_cost
                 )
 
-            dirn, aux = direction(addU, addEq)
-            grad_u, Fu, Fval, Gval = aux
-
             addU_next, addEq_next = addU, addEq
-            if opts.addEye2Hessian and opts.adjustAddEye2Hessian:
-                # (lib/ipmPD_CSsolver.c:393-548)
+            if not (opts.addEye2Hessian and opts.adjustAddEye2Hessian):
+                dirn, aux = direction(addU, addEq)
+            else:
+                # (lib/ipmPD_CSsolver.c:393-548) — phrased as a
+                # solve-at-least-once while_loop so the KKT solve is traced
+                # exactly once (compile time): when the direction is bad
+                # (curvature <= 0 and, with useInertia, wrong inertia) the
+                # regularization is increased immediately and the loop body
+                # re-solves once with the larger epsilon.
                 MIN, MAX = opts.addEye2HessianMIN, opts.addEye2HessianMAX
-                good = dirn.curvature > 0
-                if opts.useInertia:
-                    good |= (dirn.mp == mp_desired) & (dirn.mn == mn_desired)
 
-                # delayed adjustments when direction is acceptable
+                shapes = jax.eval_shape(direction, addU, addEq)
+                zeros = jax.tree.map(
+                    lambda s: jnp.zeros(s.shape, s.dtype), shapes
+                )
+
+                def is_good(d):
+                    g = d.curvature > 0
+                    if opts.useInertia:
+                        g |= (d.mp == mp_desired) & (d.mn == mn_desired)
+                    return g
+
+                def adapt_cond(carry):
+                    k, need, *_ = carry
+                    return need
+
+                def adapt_body(carry):
+                    k, _, aU, aE, _old = carry
+                    res = direction(aU, aE)
+                    d = res[0]
+                    retry = (~is_good(d)) & (k == 0)
+                    if opts.useInertia:
+                        not_enough_pos = d.mp < mp_desired
+                        facU = jnp.where(not_enough_pos, 10.0, 2.0)
+                        facE = jnp.where(not_enough_pos, 2.0, 10.0)
+                    else:
+                        facU, facE = 10.0, 10.0
+                    aU2 = jnp.where(
+                        retry & (aU < MAX),
+                        jnp.minimum(facU * jnp.maximum(aU, MIN), MAX),
+                        aU,
+                    )
+                    aE2 = jnp.where(
+                        retry & (aE < MAX),
+                        jnp.minimum(facE * jnp.maximum(aE, MIN), MAX),
+                        aE,
+                    )
+                    return k + 1, retry, aU2, aE2, res
+
+                k, _, addU, addEq, (dirn, aux) = lax.while_loop(
+                    adapt_cond,
+                    adapt_body,
+                    (jnp.zeros((), jnp.int32), jnp.asarray(True), addU, addEq, zeros),
+                )
+                was_retry = k > 1
+
+                # delayed adjustments for the next iteration, applied only
+                # when the first direction was acceptable (the reference's
+                # updateAddEye2Hessian* flags)
                 derr = dirn.derr
                 dec = derr < opts.maxDirectionError
                 inc = derr > opts.maxDirectionError
-                addU_next_good = jnp.where(
+                addU_next = jnp.where(
                     dec & (addU > MIN), jnp.maximum(0.75 * addU, MIN), addU
                 )
-                addU_next_good = jnp.where(
+                addU_next = jnp.where(
                     inc & (addU < MAX),
                     jnp.minimum(10.0 * jnp.maximum(addU, MIN), MAX),
-                    addU_next_good,
+                    addU_next,
                 )
-                addEq_next_good = jnp.where(
+                addEq_next = jnp.where(
                     dec & (addEq > MIN), jnp.maximum(0.75 * addEq, MIN), addEq
                 )
-                addEq_next_good = jnp.where(
+                addEq_next = jnp.where(
                     inc & (addEq < MAX),
                     jnp.minimum(10.0 * jnp.maximum(addEq, MIN), MAX),
-                    addEq_next_good,
+                    addEq_next,
                 )
+                addU_next = jnp.where(was_retry, addU, addU_next)
+                addEq_next = jnp.where(was_retry, addEq, addEq_next)
 
-                # immediate increase + one re-solve when direction is bad
-                if opts.useInertia:
-                    not_enough_pos = dirn.mp < mp_desired
-                    facU = jnp.where(not_enough_pos, 10.0, 2.0)
-                    facE = jnp.where(not_enough_pos, 2.0, 10.0)
-                else:
-                    facU = 10.0
-                    facE = 10.0
-                addU_bad = jnp.minimum(facU * jnp.maximum(addU, MIN), MAX)
-                addEq_bad = jnp.minimum(facE * jnp.maximum(addEq, MIN), MAX)
-
-                def recompute(_):
-                    d2, aux2 = direction(addU_bad, addEq_bad)
-                    return d2, aux2, addU_bad, addEq_bad, addU_bad, addEq_bad
-
-                def keep(_):
-                    return dirn, aux, addU, addEq, addU_next_good, addEq_next_good
-
-                dirn, aux, addU, addEq, addU_next, addEq_next = lax.cond(
-                    ~good, recompute, keep, None
-                )
-                grad_u, Fu, Fval, Gval = aux
+            grad_u, Fu, Fval, Gval = aux
 
             dU, dNu, dLambda = dirn.dU, dirn.dNu, dirn.dLambda
 

