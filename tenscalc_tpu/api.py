@@ -145,7 +145,56 @@ class OptimizeSolver:
         self._solve_raw = build_ipm(
             self._fns, self.nU, self.nF, self.nG, self.opts
         )
+        self.kkt_plan = None
+        if self.opts.kkt_backend in ("auto", "tridiag"):
+            self._plan_structure()
         self._solve_jit = jax.jit(self._solve_raw)
+
+    def _plan_structure(self) -> None:
+        """Probe the KKT sparsity pattern and, when block-banded structure
+        is worthwhile (MPC horizons), switch the factorization backend to
+        the block-tridiagonal elimination (kkt/tridiag.py).  The analog
+        of the reference's fill-reducing ordering over an instantiated
+        pattern (lib/@csparse/sparsity_ldl.m:40-62)."""
+        from .kkt.structure import plan_banded, probe_pattern
+        from .kkt.tridiag import tridiag_factorize
+
+        dt = self.opts.np_dtype
+        nK = self.nU + self.nG + (0 if self.opts.smallerNewtonMatrix else self.nF)
+        if nK < 64:  # too small for a structured path to matter
+            return
+
+        def assemble(trial: int):
+            rng = np.random.default_rng(trial)
+            penv = {
+                p.name: jnp.asarray(rng.standard_normal(p.shape), dt)
+                for p in self.parameters
+            }
+            u = jnp.asarray(rng.standard_normal(self.nU), dt)
+            lam = jnp.asarray(rng.uniform(0.5, 1.5, self.nF), dt)
+            nu = jnp.asarray(rng.standard_normal(self.nG), dt)
+            a = self._solve_raw._assemble_ww(
+                u, nu, lam,
+                jnp.asarray(0.1, dt), jnp.asarray(1e-3, dt), jnp.asarray(1e-3, dt),
+                penv,
+                jnp.ones((self.nF,), dt), jnp.ones((), dt),
+            )
+            return a["WW"]
+
+        try:
+            pattern = probe_pattern(assemble, nK)
+        except Exception:
+            if self.opts.kkt_backend == "tridiag":
+                raise
+            return  # structure probing is best-effort under 'auto'
+        plan = plan_banded(pattern)
+        if not plan.worthwhile and self.opts.kkt_backend != "tridiag":
+            return
+        self.kkt_plan = plan
+        self._solve_raw = build_ipm(
+            self._fns, self.nU, self.nF, self.nG, self.opts,
+            kkt_solver=lambda WW: tridiag_factorize(WW, plan),
+        )
 
     # -- parameter/init handling --------------------------------------
     def _param_env(self, parameters: Optional[Mapping[str, Any]]):

@@ -206,7 +206,12 @@ def build_ipm(
     # ------------------------------------------------------------------
     # KKT assembly + direction (the formulation layer)
     # ------------------------------------------------------------------
-    def compute_direction(u, nu, lam, mu, addU, addEq, penv, scale_ineq, scale_cost):
+    def assemble_ww(u, nu, lam, mu, addU, addEq, penv, scale_ineq, scale_cost):
+        """Derivatives + KKT matrix for the selected variant (no solves).
+
+        Exposed for structure probing (kkt/structure.py plans the banded
+        permutation from this matrix's sparsity pattern).
+        """
         fs, Fs, Gs, lagr = scaled_fns(penv, scale_ineq, scale_cost)
         grad_u = jax.grad(lagr, argnums=0)(u, nu, lam)
         H = jax.jacfwd(jax.grad(lagr, argnums=0), argnums=0)(u, nu, lam)
@@ -218,11 +223,11 @@ def build_ipm(
         f_u = jax.grad(fs)(u)
 
         WW11 = H + addU * I_U
+        muF = mu / Fval if nF > 0 else jnp.zeros((0,), dt)
+        LPG = (lam / Fval)[:, None] * Fu if nF > 0 else jnp.zeros((0, nU), dt)
 
         if small:
             # condensed system (lib/ipmPD_CS.m:254-361): eliminate dLambda
-            muF = mu / Fval if nF > 0 else jnp.zeros((0,), dt)
-            LPG = (lam / Fval)[:, None] * Fu if nF > 0 else jnp.zeros((0, nU), dt)
             WWc = WW11 + (Fu.T @ LPG if nF > 0 else 0.0)
             WW = jnp.concatenate(
                 [
@@ -231,6 +236,48 @@ def build_ipm(
                 ],
                 axis=0,
             )
+        elif variant == "timesLambda":
+            # multiplicative-lambda KKT (ipmPD_CStimesLambda.m:235-252)
+            row1 = jnp.concatenate([WW11, Gu.T, -(Fu.T * lam[None, :])], axis=1)
+            row2 = jnp.concatenate(
+                [Gu, -addEq * I_G, jnp.zeros((nG, nF), dt)], axis=1
+            )
+            row3 = jnp.concatenate(
+                [
+                    -(lam[:, None] * Fu),
+                    jnp.zeros((nF, nG), dt),
+                    -jnp.diag(Fval * lam),
+                ],
+                axis=1,
+            )
+            WW = jnp.concatenate([row1, row2, row3], axis=0)
+        else:
+            # standard large matrix (ipmPD_CS.m:362-434)
+            row1 = jnp.concatenate([WW11, Gu.T, -Fu.T], axis=1)
+            row2 = jnp.concatenate(
+                [Gu, -addEq * I_G, jnp.zeros((nG, nF), dt)], axis=1
+            )
+            row3 = jnp.concatenate(
+                [
+                    -Fu,
+                    jnp.zeros((nF, nG), dt),
+                    -jnp.diag(Fval / lam) if nF > 0 else jnp.zeros((0, 0), dt),
+                ],
+                axis=1,
+            )
+            WW = jnp.concatenate([row1, row2, row3], axis=0)
+        return dict(
+            WW=WW, WW11=WW11, grad_u=grad_u, f_u=f_u, Fu=Fu, Gu=Gu,
+            Fval=Fval, Gval=Gval, muF=muF, LPG=LPG,
+        )
+
+    def compute_direction(u, nu, lam, mu, addU, addEq, penv, scale_ineq, scale_cost):
+        a = assemble_ww(u, nu, lam, mu, addU, addEq, penv, scale_ineq, scale_cost)
+        WW, WW11 = a["WW"], a["WW11"]
+        grad_u, f_u, Fu, Gu = a["grad_u"], a["f_u"], a["Fu"], a["Gu"]
+        Fval, Gval, muF, LPG = a["Fval"], a["Gval"], a["muF"], a["LPG"]
+
+        if small:
             r1 = -f_u - (Gu.T @ nu if nG > 0 else 0.0) + (Fu.T @ muF if nF > 0 else 0.0)
             b = jnp.concatenate([r1, -Gval])
             fac = _factor(WW)
@@ -260,38 +307,12 @@ def build_ipm(
                 dLambda_a = jnp.zeros((nF,), dt)
         else:
             if variant == "timesLambda":
-                # multiplicative-lambda KKT (ipmPD_CStimesLambda.m:235-252)
-                row1 = jnp.concatenate(
-                    [WW11, Gu.T, -(Fu.T * lam[None, :])], axis=1
-                )
-                row2 = jnp.concatenate(
-                    [Gu, -addEq * I_G, jnp.zeros((nG, nF), dt)], axis=1
-                )
-                row3 = jnp.concatenate(
-                    [
-                        -(lam[:, None] * Fu),
-                        jnp.zeros((nF, nG), dt),
-                        -jnp.diag(Fval * lam),
-                    ],
-                    axis=1,
-                )
-                WW = jnp.concatenate([row1, row2, row3], axis=0)
                 b = jnp.concatenate([-grad_u, -Gval, lam * Fval - mu * jnp.ones((nF,), dt)])
                 fac = _factor(WW)
                 dx = fac.solve(b)
                 dU_a = jnp.zeros((nU,), dt)
                 dLambda_a = jnp.zeros((nF,), dt)
             else:
-                # standard large matrix (ipmPD_CS.m:362-434)
-                row1 = jnp.concatenate([WW11, Gu.T, -Fu.T], axis=1)
-                row2 = jnp.concatenate(
-                    [Gu, -addEq * I_G, jnp.zeros((nG, nF), dt)], axis=1
-                )
-                row3 = jnp.concatenate(
-                    [-Fu, jnp.zeros((nF, nG), dt), -jnp.diag(Fval / lam) if nF > 0 else jnp.zeros((0, 0), dt)],
-                    axis=1,
-                )
-                WW = jnp.concatenate([row1, row2, row3], axis=0)
                 fac = _factor(WW)
                 if opts.skipAffine:
                     b = jnp.concatenate(
@@ -793,4 +814,5 @@ def build_ipm(
             addEq=final.addEq,
         )
 
+    solve._assemble_ww = assemble_ww  # exposed for structure probing
     return solve
