@@ -73,6 +73,12 @@ class Solution:
     lam: Any
     nu: Any
     time: float = 0.0
+    # per-iteration trace (profiling=True): array [iters, 8] with columns
+    # tenscalc_tpu.ipm.solver.HISTORY_COLUMNS
+    history: Any = None
+    # scaling factors used internally (to unscale duals post hoc)
+    scale_ineq: Any = None
+    scale_cost: Any = None
 
     @property
     def ok(self) -> bool:
@@ -182,7 +188,15 @@ class OptimizeSolver:
             return a["WW"]
 
         try:
-            pattern = probe_pattern(assemble, nK)
+            # probe on the host CPU backend: it's a one-off eager pass of
+            # many small ops — dispatching those to a TPU would be slow
+            # and would pollute its compile cache
+            cpus = jax.devices("cpu")
+            if cpus:
+                with jax.default_device(cpus[0]):
+                    pattern = probe_pattern(assemble, nK)
+            else:
+                pattern = probe_pattern(assemble, nK)
         except Exception:
             if self.opts.kkt_backend == "tridiag":
                 raise
@@ -276,7 +290,105 @@ class OptimizeSolver:
             lam=np.asarray(res.lam),
             nu=np.asarray(res.nu),
             time=elapsed,
+            # the final iteration only runs the exit tests (no step), so
+            # it contributes no history row
+            history=(
+                np.asarray(res.history)[: max(int(res.iters) - 1, 0)]
+                if res.history is not None
+                else None
+            ),
+            scale_ineq=(
+                np.asarray(res.scale_ineq) if res.scale_ineq is not None else None
+            ),
+            scale_cost=(
+                np.asarray(res.scale_cost) if res.scale_cost is not None else None
+            ),
         )
+
+    # -- parameter sensitivity (reference: sensitivityVariables,
+    #    lib/ipmPD_CS.m:478-503; here via the implicit function theorem
+    #    on the KKT conditions, differentiated with jax) --------------
+    def sensitivity(
+        self,
+        solution: "Solution",
+        parameters: Mapping[str, Any],
+        wrt: Optional[Sequence[str]] = None,
+    ) -> Dict[str, Dict[str, np.ndarray]]:
+        """d(u*)/d(parameter) at a converged solution.
+
+        Implicit differentiation of the stationarity system
+            r(u, nu, lam; p) = [grad_u L; G; lam*F - mu] = 0
+        (unscaled; duals recovered from the solver's internal scaling).
+        Returns {variable_name: {parameter_name: array of shape
+        var.shape + param.shape}}.
+        """
+        from .kkt.dense import lu_solve_mixed
+
+        dt = self.opts.np_dtype
+        penv = self._param_env(parameters)
+        packing = self.packing
+        nU, nF, nG = self.nU, self.nF, self.nG
+
+        u_star = packing.pack(
+            {k: jnp.asarray(v, dt) for k, v in solution.variables.items()},
+            dtype=dt,
+        )
+        sc = jnp.asarray(
+            solution.scale_cost if solution.scale_cost is not None else 1.0, dt
+        )
+        si = jnp.asarray(
+            solution.scale_ineq
+            if solution.scale_ineq is not None
+            else np.ones(nF),
+            dt,
+        )
+        # unscale duals: lam_u = si*lam_s/sc, nu_u = nu_s/sc; the
+        # complementarity target becomes mu_s/sc (see scaled stationarity)
+        lam_u = (si * jnp.asarray(solution.lam, dt)) / sc
+        nu_u = jnp.asarray(solution.nu, dt) / sc
+        mu_u = jnp.asarray(solution.mu, dt) / sc
+        z_star = jnp.concatenate([u_star, nu_u, lam_u])
+
+        fns = self._fns
+
+        def residual(z, pv):
+            u = z[:nU]
+            nu = z[nU : nU + nG]
+            lam = z[nU + nG :]
+
+            def lagr(uu):
+                val = fns.f(uu, pv)
+                if nG:
+                    val = val + nu @ fns.G(uu, pv)
+                if nF:
+                    val = val - lam @ fns.F(uu, pv)
+                return val
+
+            r1 = jax.grad(lagr)(u)
+            r2 = fns.G(u, pv) if nG else jnp.zeros((0,), dt)
+            r3 = (
+                lam * fns.F(u, pv) - mu_u if nF else jnp.zeros((0,), dt)
+            )
+            return jnp.concatenate([r1, r2, r3])
+
+        K = jax.jacfwd(residual, argnums=0)(z_star, penv)
+        dR = jax.jacfwd(residual, argnums=1)(z_star, penv)
+
+        names = list(wrt) if wrt is not None else [p.name for p in self.parameters]
+        out: Dict[str, Dict[str, np.ndarray]] = {
+            v: {} for v in packing.names
+        }
+        for pname in names:
+            Rp = dR[pname].reshape(z_star.shape[0], -1)
+            dz = -lu_solve_mixed(K, Rp)
+            for vname in packing.names:
+                sl = packing.slice_of(vname)
+                vshape = self.variables[packing.names.index(vname)].shape
+                pshape = penv[pname].shape
+                out[vname][pname] = np.asarray(dz[sl]).reshape(
+                    vshape + pshape
+                )
+        return out
 
     def _internal_env(self, res: IPMResult):
         """Solver internals exposed to outputExpressions, mirroring the

@@ -60,6 +60,7 @@ class IPMState(NamedTuple):
     status: jax.Array     # int32 bitmask
     it: jax.Array         # int32
     done: jax.Array       # bool
+    hist: jax.Array       # [maxIter, 8] iteration trace (profiling only)
 
 
 class IPMResult(NamedTuple):
@@ -75,6 +76,21 @@ class IPMResult(NamedTuple):
     f: jax.Array
     addU: jax.Array
     addEq: jax.Array
+    # per-iteration trace (profiling=True only): [maxIter, 8] rows of
+    # (J, |grad|, |eq|, gap, mu, alphaPrimal, addU, derr) — the data
+    # behind the reference's verboseLevel>=3 iteration table
+    # (lib/ipmPD_CSsolver.c:247-276) and debugConvergence plots
+    history: Optional[jax.Array] = None
+    # scaling factors actually used (needed to unscale duals, e.g. for
+    # post-hoc sensitivity analysis)
+    scale_ineq: Optional[jax.Array] = None
+    scale_cost: Optional[jax.Array] = None
+
+
+HISTORY_COLUMNS = (
+    "J", "norminf_grad", "norminf_eq", "gap", "mu", "alphaPrimal",
+    "addU", "directionError",
+)
 
 
 class Direction(NamedTuple):
@@ -422,6 +438,9 @@ def build_ipm(
         else:
             nu0 = jnp.zeros((0,), dt)
 
+        hist0 = jnp.full(
+            (opts.maxIter if opts.profiling else 0, 8), jnp.nan, dt
+        )
         state0 = IPMState(
             u=u0,
             nu=nu0,
@@ -437,6 +456,7 @@ def build_ipm(
             status=jnp.zeros((), jnp.int32),
             it=jnp.zeros((), jnp.int32),
             done=jnp.asarray(False),
+            hist=hist0,
         )
 
         def exit_metrics(st: IPMState):
@@ -733,7 +753,25 @@ def build_ipm(
             status = jnp.where(nan_fail, 4, 0).astype(jnp.int32)
             done = nan_fail
 
+            hist = st.hist
+            if opts.profiling:
+                fs_, _, _, _ = scaled_fns(penv, scale_ineq, scale_cost)
+                row = jnp.stack(
+                    [
+                        fs_(u) / scale_cost,
+                        norminf_grad,
+                        norminf_eq,
+                        gap,
+                        new_mu,
+                        alphaPrimal if nF > 0 else jnp.asarray(opts.alphaMax, dt),
+                        addU,
+                        dirn.derr,
+                    ]
+                )
+                hist = hist.at[jnp.minimum(st.it - 1, opts.maxIter - 1)].set(row)
+
             new_state = IPMState(
+                hist=hist,
                 u=jnp.where(done, u, new_u),
                 nu=jnp.where(done, nu, new_nu) if nG > 0 else nu,
                 lam=jnp.where(done, lam, new_lam) if nF > 0 else lam,
@@ -812,6 +850,9 @@ def build_ipm(
             f=fs(final.u) / scale_cost,
             addU=final.addU,
             addEq=final.addEq,
+            history=final.hist if opts.profiling else None,
+            scale_ineq=scale_ineq,
+            scale_cost=scale_cost,
         )
 
     solve._assemble_ww = assemble_ww  # exposed for structure probing

@@ -53,16 +53,15 @@ def plan_banded(
     n for block elimination to pay off (fallback: dense LU) — the analog
     of the build plan's "fall back to dense blocks when unsure"
     (SURVEY.md §7 hard parts (d)).
+
+    The ordering runs in the native C++ library (native/ordering.cpp)
+    when available, else scipy.
     """
-    import scipy.sparse as sp
-    from scipy.sparse.csgraph import reverse_cuthill_mckee
+    from .. import native
 
     n = pattern.shape[0]
-    A = sp.csr_matrix(pattern)
-    perm = np.asarray(reverse_cuthill_mckee(A, symmetric_mode=True))
-    P = pattern[perm][:, perm]
-    ii, jj = np.nonzero(P)
-    bw = int(np.abs(ii - jj).max()) if len(ii) else 0
+    perm = native.rcm(pattern)
+    bw = native.bandwidth(pattern, perm)
     block = max(bw, 1)
     n_blocks = -(-n // block)
     worthwhile = (

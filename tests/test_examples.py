@@ -118,3 +118,56 @@ def test_robust_regress_l1():
     # nonzero true coefficients recovered within noise+shrinkage
     big = np.abs(th) > 0.5
     assert np.abs(sol.outputs["theta"][big] - th[big]).max() < 0.25
+
+
+def test_matrix_game_value():
+    """Zero-sum matrix game vs LP oracle (examples/TCgames.m)."""
+    from examples import games
+
+    N1, N2 = 20, 10
+    solver = games.build_matrix_game(N1, N2, ns="gt_")
+    rng = np.random.default_rng(0)
+    A = rng.random((N1, N2))
+    sol = solver.solve(
+        {"gt_A1": A},
+        init={"gt_u": np.full(N1, 1 / N1), "gt_d": np.full(N2, 1 / N2)},
+        mu0=0.1,
+        max_iter=300,
+    )
+    assert sol.ok, sol.describe()
+    v_lp = games.game_value_lp(A)
+    np.testing.assert_allclose(sol.outputs["J"], v_lp, atol=1e-3)
+    # strategies on the simplex
+    np.testing.assert_allclose(sol.outputs["u"].sum(), 1.0, atol=1e-5)
+    np.testing.assert_allclose(sol.outputs["d"].sum(), 1.0, atol=1e-5)
+    assert sol.outputs["u"].min() >= -1e-8
+
+
+def test_dist2convex():
+    """Simplex-constrained projection vs scipy oracle
+    (examples/dist2convex.m)."""
+    from examples import dist2convex
+    from scipy.optimize import minimize as sp_minimize
+
+    N, d = 40, 5
+    solver = dist2convex.build_solver(N, d, ns="d2t_")
+    rng = np.random.default_rng(0)
+    A = rng.standard_normal((d, N))
+    b = 2 * rng.standard_normal(d)
+    sol = solver.solve(
+        {"d2t_A": A, "d2t_b": b},
+        init={"d2t_x": np.full(N, 1 / N)},
+        mu0=0.1,
+        max_iter=200,
+    )
+    assert sol.ok, sol.describe()
+    ref = sp_minimize(
+        lambda x: np.sum((A @ x - b) ** 2),
+        np.full(N, 1 / N),
+        jac=lambda x: 2 * A.T @ (A @ x - b),
+        constraints={"type": "eq", "fun": lambda x: x.sum() - 1},
+        bounds=[(0, None)] * N,
+        method="SLSQP",
+        options={"maxiter": 500, "ftol": 1e-14},
+    )
+    np.testing.assert_allclose(sol.outputs["J"], ref.fun, atol=1e-4)
