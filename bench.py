@@ -100,6 +100,25 @@ def main():
     batch_time = (time.perf_counter() - t0_) / n_runs
     solves_per_s = B / batch_time
 
+    # ---- sls: the reference's headline ~850us benchmark -------------
+    # (cmex C solver, N=400 n=32 constrained solve, README.md:117-120)
+    from examples import sls as sls_mod
+
+    sls_solver = sls_mod.build_constrained(ns="bsls_")
+    d = sls_mod.default_data()
+    sls_params = {"bsls_A": d["A"], "bsls_b": d["b"]}
+    sls_init = {"bsls_x": d["x0"]}
+    s0 = sls_solver.solve(sls_params, init=sls_init, mu0=1.0, max_iter=60)
+    sls_us = None
+    if s0.status == 0:
+        t0_ = time.perf_counter()
+        for _ in range(5):
+            r = sls_solver.solve_result(
+                sls_params, init=sls_init, mu0=1.0, max_iter=60
+            )
+            r.iters.block_until_ready()
+        sls_us = (time.perf_counter() - t0_) / 5 * 1e6
+
     result = {
         "metric": "mpc_dcmotor batched solves/s/chip",
         "value": round(solves_per_s, 3),
@@ -111,6 +130,9 @@ def main():
         "single_us_per_iter": round(us_per_iter, 1),
         "single_iters_per_s": round(iters_per_s, 1),
         "single_solve_ms": round(single_time * 1e3, 2),
+        # reference cmex: ~850us for this exact solve (README.md:117)
+        "sls_solve_us": round(sls_us, 0) if sls_us else None,
+        "sls_vs_ref_850us": round(850.0 / sls_us, 4) if sls_us else None,
     }
     print(json.dumps(result))
 

@@ -171,3 +171,28 @@ def test_dist2convex():
         options={"maxiter": 500, "ftol": 1e-14},
     )
     np.testing.assert_allclose(sol.outputs["J"], ref.fun, atol=1e-4)
+
+
+def test_mpcmhe_dcmotor_closed_loop():
+    """Output-feedback MPC-MHE game closed loop: clean solves, the
+    state estimate tracks the true state, controls bounded
+    (examples/mpcmhe/mpcmhe_dcmotor.m; part of basicTests.m)."""
+    from examples import mpcmhe_dcmotor
+
+    # L must dominate the future-error pressure for the game to have a
+    # saddle (see run_closed_loop docstring); lambda_n raised to match
+    T, L = 12, 16
+    solver = mpcmhe_dcmotor.build_solver(T=T, L=L, ns="mmt_")
+    hist = mpcmhe_dcmotor.run_closed_loop(
+        solver, n_steps=30, seed=0, param_overrides={"lambda_n": 20.0}
+    )
+    assert (hist["status"] == 0).all(), hist["status"]
+    assert len(hist["t"]) == 30
+    # after the backward window fills, the MHE estimate of x(0) tracks
+    # the true state (clean measurements, small true disturbance)
+    live = slice(L + 2, None)
+    est_err = np.abs(hist["xEst"][live, 0] - hist["x"][live, 0])
+    # the equilibrium estimate is adversarially biased by design; it
+    # must still track the true position closely with clean measurements
+    assert np.nanmean(est_err) < 0.1, np.nanmean(est_err)
+    assert (np.abs(hist["u"]) <= 5.0 + 1e-8).all()
