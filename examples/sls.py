@@ -12,7 +12,7 @@ import numpy as np
 import tenscalc_tpu as tc
 
 
-def build_unconstrained(N=400, n=32, ns="sls_"):
+def build_unconstrained(N=400, n=32, ns="sls_", **options):
     A = tc.variable(ns + "A", (N, n))
     b = tc.variable(ns + "b", (N,))
     x = tc.variable(ns + "x", (n,))
@@ -22,10 +22,11 @@ def build_unconstrained(N=400, n=32, ns="sls_"):
         optimizationVariables=[x],
         parameters=[A, b],
         outputExpressions={"J": J, "x": x},
+        **options,
     )
 
 
-def build_slack(N=400, n=32, ns="slsv_"):
+def build_slack(N=400, n=32, ns="slsv_", **options):
     """min v s.t. v >= ||Ax-b||^2/N (sls.m:86-124)."""
     A = tc.variable(ns + "A", (N, n))
     b = tc.variable(ns + "b", (N,))
@@ -38,10 +39,11 @@ def build_slack(N=400, n=32, ns="slsv_"):
         constraints=[v >= J],
         parameters=[A, b],
         outputExpressions={"J": J, "x": x},
+        **options,
     )
 
 
-def build_constrained(N=400, n=32, bound=0.01, ns="slsc_"):
+def build_constrained(N=400, n=32, bound=0.01, ns="slsc_", **options):
     """min ||Ax-b||^2/N s.t. -bound <= x <= bound — the reference's
     timed benchmark formulation."""
     A = tc.variable(ns + "A", (N, n))
@@ -54,6 +56,7 @@ def build_constrained(N=400, n=32, bound=0.01, ns="slsc_"):
         constraints=[x >= -bound, x <= bound],
         parameters=[A, b],
         outputExpressions={"J": J, "x": x},
+        **options,
     )
 
 

@@ -130,8 +130,9 @@ def line_search_combined(minF_of_alpha, alpha_bt, opts: SolverOptions, dt):
     a1 = alpha_bt / s
     grid = alpha_bt * 0.95 / (2.0 ** jnp.arange(K, dtype=dt))
     cands = jnp.concatenate([jnp.array([a1, opts.alphaMin / s], dtype=dt), grid])
-    vals = jax.vmap(minF_of_alpha)(cands)
-    vals_sb = jax.vmap(minF_of_alpha)(cands * s)
+    # one batched sweep over candidates and their stepback re-checks
+    both = jax.vmap(minF_of_alpha)(jnp.concatenate([cands, cands * s]))
+    vals, vals_sb = both[: K + 2], both[K + 2 :]
     ineq_a1, ineq_min = vals[0], vals[1]
     ineq1_a1 = vals_sb[0]
     nan_fail = jnp.isnan(ineq_a1)

@@ -1,0 +1,203 @@
+"""Horizon-parallel block-tridiagonal solve over a device mesh.
+
+This is the framework's "sequence/context parallelism" axis (SURVEY.md
+§2.9, §5): long MPC horizons make the KKT block-tridiagonal, and the
+horizon can be partitioned across devices.  One-level Schur-complement
+domain decomposition (SPIKE-style):
+
+1. chunk the nb stage-blocks into P partitions; the last block of each
+   partition is an *interface*, the rest are *interior*;
+2. every device factors its interior block-tridiagonal system and
+   eliminates it from its boundary couplings (local scans, parallel
+   across the mesh);
+3. the reduced system over the P interface blocks (block-tridiagonal,
+   size P*s) is gathered with an all_gather over ICI and solved
+   redundantly on every device;
+4. interiors back-substitute in parallel.
+
+Communication: one all_gather of O(P * s^2) + O(P * s) — independent of
+the horizon length; everything else rides local compute.  The reference
+has no analog (single process); this is new design enabled by the mesh.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+
+
+def _local_tridiag_factor(A, B):
+    """Sequential block LDL of a local block-tridiag chain (lax.scan).
+
+    A: (m, s, s) diagonal blocks; B: (m, s, s) subdiagonal (B[0] unused).
+    Returns (Ls, Ds_lu) as in kkt/tridiag.py.
+    """
+    s = A.shape[-1]
+
+    def step(carry, inp):
+        lu_p, piv_p = carry
+        A_i, B_i = inp
+        L_i = jax.scipy.linalg.lu_solve((lu_p, piv_p), B_i.T, trans=1).T
+        D_i = A_i - L_i @ B_i.T
+        lu_i, piv_i = jax.scipy.linalg.lu_factor(D_i)
+        return (lu_i, piv_i), (L_i, lu_i, piv_i)
+
+    lu0, piv0 = jax.scipy.linalg.lu_factor(A[0])
+    _, (Ls_r, lus_r, pivs_r) = lax.scan(step, (lu0, piv0), (A[1:], B[1:]))
+    Ls = jnp.concatenate([jnp.zeros((1, s, s), A.dtype), Ls_r], axis=0)
+    lus = jnp.concatenate([lu0[None], lus_r], axis=0)
+    pivs = jnp.concatenate([piv0[None], pivs_r], axis=0)
+    return Ls, (lus, pivs)
+
+
+def _local_tridiag_solve(Ls, Ds_lu, b):
+    """Solve the local chain for (possibly multiple) rhs b: (m, s, k)."""
+    lus, pivs = Ds_lu
+    s = Ls.shape[-1]
+
+    def fwd(carry, inp):
+        yprev = carry
+        L_i, b_i = inp
+        y_i = b_i - L_i @ yprev
+        return y_i, y_i
+
+    _, ys = lax.scan(fwd, jnp.zeros_like(b[0]), (Ls, b))
+    zs = jax.vmap(lambda l_, p_, y_: jax.scipy.linalg.lu_solve((l_, p_), y_))(
+        lus, pivs, ys
+    )
+
+    def bwd(carry, inp):
+        xnext = carry
+        L_next, z_i = inp
+        x_i = z_i - L_next.T @ xnext
+        return x_i, x_i
+
+    Ls_next = jnp.concatenate(
+        [Ls[1:], jnp.zeros((1, s, s), Ls.dtype)], axis=0
+    )
+    _, xs = lax.scan(bwd, jnp.zeros_like(b[0]), (Ls_next, zs), reverse=True)
+    return xs
+
+
+def spike_solve(A, B, b, mesh: Mesh, axis: str = "stages"):
+    """Solve the symmetric block-tridiagonal system over the mesh.
+
+    A: (nb, s, s) diagonal blocks; B: (nb, s, s) subdiagonal blocks
+    (B[i] couples block i to i-1; B[0] = 0); b: (nb, s) rhs.
+    nb must be divisible by the mesh size P, with nb/P >= 2.
+    Returns x: (nb, s).
+    """
+    nb, s, _ = A.shape
+    Pn = mesh.shape[axis]
+    if nb % Pn != 0 or nb // Pn < 2:
+        raise ValueError(f"nb={nb} must be a multiple of mesh size {Pn} (>=2 per chunk)")
+    m = nb // Pn
+
+    def local(A_c, B_c, b_c):
+        # A_c: (m, s, s) local chunk; last block is the interface.
+        mi = m - 1
+        Ai = A_c[:mi]                         # interior chain diagonals
+        # interior subdiagonals: B_c[0] couples to the PREVIOUS chunk's
+        # interface (handled via V below), not to the interior chain
+        Bi = B_c[:mi].at[0].set(jnp.zeros((s, s), A_c.dtype))
+        t_diag = A_c[mi]                      # interface diagonal block
+        W = B_c[mi]                           # coupling interface<-last interior
+        idx = jax.lax.axis_index(axis)
+
+        Ls, Ds_lu = _local_tridiag_factor(Ai, Bi)
+
+        # rhs bundle: [b_interior | e_last*W' | e_first*V']
+        # V couples the *previous* interface into our first interior block:
+        # the global subdiagonal B_c[0] couples our block 0 to the previous
+        # chunk's last block (its interface).
+        V = B_c[0]
+        rhs = jnp.zeros((mi, s, 2 * s + 1), A.dtype)
+        rhs = rhs.at[:, :, 0].set(b_c[:mi])
+        rhs = rhs.at[mi - 1, :, 1 : s + 1].set(W.T)   # W' on last interior row
+        rhs = rhs.at[0, :, s + 1 :].set(V)            # V on first interior row
+        sol = _local_tridiag_solve(Ls, Ds_lu, rhs)    # (mi, s, 2s+1)
+
+        y = sol[:, :, 0]                  # interior solve of b
+        Zw = sol[:, :, 1 : s + 1]         # I^{-1} (e_last W')
+        Zv = sol[:, :, s + 1 :]           # I^{-1} (e_first V)
+
+        # Schur contributions for interface j (ours) and the coupling to
+        # interface j-1 (through our interior):
+        #   S_jj -= W I^{-1} W'           (from our interior)
+        #   S_{j,j-1} = -W I^{-1} (e_first V)  evaluated at last row? ->
+        # W acts on the last interior row; V on the first:
+        S_self = t_diag - W @ Zw[mi - 1]             # (s, s)
+        S_prev = -(W @ Zv[mi - 1])                    # couples t_{j-1}
+        r_self = b_c[mi] - W @ y[mi - 1]              # reduced rhs at t_j
+
+        # the NEXT chunk's interior also reduces onto our interface via
+        # its (V', Zv) — computed by that chunk as its S_prev' etc.; we
+        # additionally need our interface diagonal correction from the
+        # next chunk's interior:  S_jj -= V_{j+1}' I_{j+1}^{-1} V_{j+1}
+        # and r_j -= V_{j+1}' y_{j+1,first}.  Those are next-chunk local
+        # quantities:
+        S_next_corr = -(Zv[0].T @ V)                 # V' I^{-1} V (ours -> prev interface)
+        r_next_corr = -(V.T @ y[0])                  # V' y_first  (ours -> prev interface)
+
+        return (S_self, S_prev, S_next_corr, r_self, r_next_corr,
+                y, Zw, Zv, Ls, Ds_lu, W, V, idx)
+
+    def sharded(A_all, B_all, b_all):
+        (S_self, S_prev, S_next_corr, r_self, r_next_corr,
+         y, Zw, Zv, Ls, Ds_lu, W, V, idx) = local(A_all, B_all, b_all)
+
+        # gather the reduced block-tridiagonal system (P interfaces)
+        Sd = jax.lax.all_gather(S_self, axis)         # (P, s, s)
+        Sp = jax.lax.all_gather(S_prev, axis)         # (P, s, s) coupling j->j-1
+        Sc = jax.lax.all_gather(S_next_corr, axis)    # (P, s, s) corr from chunk j to iface j-1
+        rs = jax.lax.all_gather(r_self, axis)         # (P, s)
+        rc = jax.lax.all_gather(r_next_corr, axis)    # (P, s)
+
+        # assemble: diag_j = Sd[j] + Sc[j+1]; sub_j (j->j-1) = Sp[j... ]
+        Pn_ = Sd.shape[0]
+        diag = Sd.at[: Pn_ - 1].add(Sc[1:])
+        rhs_red = rs.at[: Pn_ - 1].add(rc[1:])
+        sub = jnp.concatenate([jnp.zeros((1, s, s), Sd.dtype), Sp[1:]], axis=0)
+
+        # solve the reduced chain redundantly on every device
+        Lr, Dr = _local_tridiag_factor(diag, sub)
+        t = _local_tridiag_solve(Lr, Dr, rhs_red[..., None])[..., 0]  # (P, s)
+
+        # back-substitute interior: x_I = y - Zw*t_j - Zv*t_{j-1}
+        t_self = t[idx]
+        t_prev = jnp.where(idx > 0, t[jnp.maximum(idx - 1, 0)], jnp.zeros((s,), t.dtype))
+        xI = y - Zw @ t_self - Zv @ t_prev
+        x_local = jnp.concatenate([xI, t_self[None]], axis=0)  # (m, s)
+        return x_local
+
+    from jax import shard_map
+
+    return shard_map(
+        sharded,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis)),
+        out_specs=P(axis),
+        check_vma=False,
+    )(A, B, b)
+
+
+def dense_to_blocks(WW, s: int):
+    """Utility: chop a banded matrix (half-bandwidth <= s) into
+    (nb, s, s) diagonal + subdiagonal block sequences (padded)."""
+    n = WW.shape[0]
+    nb = -(-n // s)
+    npad = nb * s
+    W = jnp.eye(npad, dtype=WW.dtype).at[:n, :n].set(WW) if npad != n else WW
+    idx = jnp.arange(nb)
+    A = jax.vmap(lambda i: lax.dynamic_slice(W, (i * s, i * s), (s, s)))(idx)
+    B = jax.vmap(
+        lambda i: lax.dynamic_slice(W, (i * s, jnp.maximum(i - 1, 0) * s), (s, s))
+    )(idx)
+    B = B.at[0].set(jnp.zeros((s, s), W.dtype))
+    return A, B
