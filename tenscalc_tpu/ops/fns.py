@@ -272,3 +272,26 @@ def interpolate(xs, ys, x):
     """Piecewise-linear interpolation (reference Tcalculus.m:2866)."""
     f = lift(lambda _xs, _ys, _x: jnp.interp(_x, _xs, _ys))
     return f(xs, ys, x)
+
+
+def Ginterpolate(xs, ys, x):
+    """Derivative of the interpolant wrt the query point (reference
+    Tcalculus Ginterpolate, :2866-3048) — via jax.grad of interpolate."""
+
+    def impl(_xs, _ys, _x):
+        g = jax.grad(lambda q: jnp.interp(q, _xs, _ys))
+        return jax.vmap(g)(jnp.atleast_1d(_x)).reshape(jnp.shape(_x))
+
+    return lift(impl)(xs, ys, x)
+
+
+def Hinterpolate(xs, ys, x):
+    """Second derivative of the interpolant wrt the query point
+    (reference Hinterpolate).  Zero a.e. for a piecewise-linear table —
+    provided for API parity; use a smooth table for curvature."""
+
+    def impl(_xs, _ys, _x):
+        h = jax.grad(jax.grad(lambda q: jnp.interp(q, _xs, _ys)))
+        return jax.vmap(h)(jnp.atleast_1d(_x)).reshape(jnp.shape(_x))
+
+    return lift(impl)(xs, ys, x)

@@ -196,3 +196,17 @@ def test_mpcmhe_dcmotor_closed_loop():
     # must still track the true position closely with clean measurements
     assert np.nanmean(est_err) < 0.1, np.nanmean(est_err)
     assert (np.abs(hist["u"]) <= 5.0 + 1e-8).all()
+
+
+def test_mpc_unicycle_nonlinear():
+    """Nonlinear (trig dynamics) MPC with useInertia — the pursuer
+    closes on the moving target (examples/mpcmhe/mpc_unicycle.m,
+    part of basicTests.m)."""
+    from examples import mpc_unicycle
+
+    solver = mpc_unicycle.build_solver(T=30, ns="unt_")
+    hist = mpc_unicycle.run_closed_loop(solver, n_steps=30)
+    assert (hist["status"] == 0).all(), hist["status"]
+    # closes at ~ (v - |d|) per unit time; 3s horizon -> big reduction
+    assert hist["dist"][-1] < 0.5 * hist["dist"][0]
+    assert (np.abs(hist["u"]) <= 2.0 + 1e-8).all()
