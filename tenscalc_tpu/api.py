@@ -105,11 +105,13 @@ class OptimizeSolver:
         parameters: Sequence[Variable] = (),
         outputExpressions: Optional[Mapping[str, Expr]] = None,
         options: Optional[SolverOptions] = None,
+        kkt_mesh=None,
         **option_kwargs,
     ):
         self.opts = (options or SolverOptions()).replace(**option_kwargs)
         _ensure_x64(self.opts)
         dt = self.opts.np_dtype
+        self.kkt_mesh = kkt_mesh
 
         self.variables = list(optimizationVariables)
         self.parameters = list(parameters)
@@ -152,7 +154,7 @@ class OptimizeSolver:
             self._fns, self.nU, self.nF, self.nG, self.opts
         )
         self.kkt_plan = None
-        if self.opts.kkt_backend in ("auto", "tridiag"):
+        if self.opts.kkt_backend in ("auto", "tridiag", "spike"):
             self._plan_structure()
         self._solve_jit = jax.jit(self._solve_raw)
 
@@ -202,6 +204,25 @@ class OptimizeSolver:
                 raise
             return  # structure probing is best-effort under 'auto'
         plan = plan_banded(pattern)
+        if self.opts.kkt_backend == "spike":
+            # horizon-parallel elimination across a device mesh
+            from .kkt.spike import SpikeFactorization
+
+            if self.kkt_mesh is None:
+                raise ValueError(
+                    "kkt_backend='spike' requires kkt_mesh=Mesh(...)"
+                )
+            mesh, axis = self.kkt_mesh, "stages"
+            if axis not in mesh.axis_names:
+                axis = mesh.axis_names[0]
+            self.kkt_plan = plan
+            self._solve_raw = build_ipm(
+                self._fns, self.nU, self.nF, self.nG, self.opts,
+                kkt_solver=lambda WW: SpikeFactorization(
+                    WW, plan, mesh, axis=axis
+                ),
+            )
+            return
         if not plan.worthwhile and self.opts.kkt_backend != "tridiag":
             return
         self.kkt_plan = plan

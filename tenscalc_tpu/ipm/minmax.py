@@ -458,6 +458,10 @@ class MinMaxSolver:
         from ..api import _ensure_x64, _split_constraints, _stack_eval, Solution
 
         self.opts = (options or SolverOptions()).replace(**option_kwargs)
+        if not self.opts.skipAffine:
+            # the reference minmax formulation declares no affine-direction
+            # quantities either (ipmPDminmax_CS.m has no b_a/getRho)
+            raise ValueError("minmax solver requires skipAffine=True")
         _ensure_x64(self.opts)
         dt = self.opts.np_dtype
 

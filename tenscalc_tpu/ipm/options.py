@@ -65,8 +65,9 @@ class SolverOptions:
     # -- numerics ------------------------------------------------------
     dtype: str = "float64"  # IPM conditioning ~1/mu needs f64 on TPU
     ldl_block: int = 64
-    # KKT backend: 'dense' or 'tridiag' (block-tridiagonal+arrow
-    # structured elimination for MPC horizons); 'auto' picks by structure
+    # KKT backend: 'dense', 'tridiag' (block-tridiagonal structured
+    # elimination for MPC horizons), 'spike' (tridiag partitioned across
+    # a device mesh — pass kkt_mesh to optimize()), or 'auto'
     kkt_backend: str = "dense"
     # number of line-search trial alphas evaluated in one batched sweep
     # (replaces the reference's sequential backtracking get/set loop,
@@ -93,8 +94,8 @@ class SolverOptions:
                 raise ValueError("variant='timesLambda' requires skipAffine=True")
             if not self.useLDL:
                 raise ValueError("variant='timesLambda' requires useLDL=True")
-        if self.kkt_backend not in ("dense", "tridiag", "auto"):
-            raise ValueError("kkt_backend must be dense|tridiag|auto")
+        if self.kkt_backend not in ("dense", "tridiag", "auto", "spike"):
+            raise ValueError("kkt_backend must be dense|tridiag|auto|spike")
 
     @property
     def np_dtype(self):

@@ -187,6 +187,68 @@ def spike_solve(A, B, b, mesh: Mesh, axis: str = "stages"):
     )(A, B, b)
 
 
+class SpikeFactorization:
+    """KKT-backend adapter: mesh-distributed banded solve with f64
+    iterative refinement against the dense matrix.
+
+    v1 re-runs the distributed elimination per solve (the IPM issues
+    1-2 rhs + refinements per iteration); caching the factor across
+    rhs is a planned optimization.
+    """
+
+    def __init__(self, WW, plan, mesh: Mesh, axis: str = "stages",
+                 n_refine: int = 2):
+        self.WW = WW
+        self.plan = plan
+        self.mesh = mesh
+        self.axis = axis
+        self.n_refine = n_refine
+        perm = jnp.asarray(plan.perm)
+        WWp = WW[perm][:, perm].astype(jnp.float32)
+        A, B = dense_to_blocks(WWp, plan.block)
+        # pad the block count to a multiple of the mesh size with
+        # identity blocks (>= 2 blocks per chunk)
+        Pn = mesh.shape[axis]
+        nb = A.shape[0]
+        nb2 = max(-(-nb // Pn), 2) * Pn
+        if nb2 != nb:
+            s = plan.block
+            eye = jnp.broadcast_to(
+                jnp.eye(s, dtype=A.dtype), (nb2 - nb, s, s)
+            )
+            A = jnp.concatenate([A, eye], axis=0)
+            B = jnp.concatenate(
+                [B, jnp.zeros((nb2 - nb, s, s), A.dtype)], axis=0
+            )
+        self.A, self.B = A, B
+        self.nb2 = nb2
+
+    def _solve32(self, rhs):
+        plan = self.plan
+        s, n = plan.block, plan.n
+        npad = self.nb2 * s
+        perm = jnp.asarray(plan.perm)
+        iperm = jnp.asarray(plan.iperm)
+        bp = rhs[perm].astype(jnp.float32)
+        bp = jnp.concatenate([bp, jnp.zeros((npad - n,), jnp.float32)])
+        x = spike_solve(self.A, self.B, bp.reshape(self.nb2, s), self.mesh,
+                        axis=self.axis)
+        return x.reshape(npad)[:n][iperm]
+
+    def solve(self, rhs):
+        if rhs.ndim == 2:
+            return jax.vmap(self.solve, in_axes=1, out_axes=1)(rhs)
+        dt = rhs.dtype
+        x = self._solve32(rhs).astype(dt)
+        for _ in range(self.n_refine):
+            x = x + self._solve32(rhs - self.WW @ x).astype(dt)
+        return x
+
+    def inertia(self, tol: float = 0.0):
+        z = jnp.zeros((), jnp.result_type(self.WW))
+        return z, z
+
+
 def dense_to_blocks(WW, s: int):
     """Utility: chop a banded matrix (half-bandwidth <= s) into
     (nb, s, s) diagonal + subdiagonal block sequences (padded)."""

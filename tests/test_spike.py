@@ -77,3 +77,45 @@ def test_spike_rejects_bad_partition(rng, mesh):
     Bb = jnp.zeros((10, 3, 3))
     with pytest.raises(ValueError, match="multiple of mesh size"):
         spike_solve(Ab, Bb, jnp.zeros((10, 3)), mesh)
+
+
+def test_spike_backend_in_ipm():
+    """Full MPC solve with the KKT system distributed over the 8-device
+    mesh (kkt_backend='spike') matches the dense backend."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    from examples import mpc_dcmotor
+
+    devs = jax.devices()
+    mesh8 = Mesh(np.array(devs), ("stages",))
+    T = 20
+    sp = mpc_dcmotor.build_solver(
+        T=T, namespace="spk_", kkt_backend="spike", kkt_mesh=mesh8
+    )
+    de = mpc_dcmotor.build_solver(T=T, namespace="spd_", kkt_backend="dense")
+    assert sp.kkt_plan is not None
+
+    def inst(ns):
+        params = mpc_dcmotor.default_params(T, ns)
+        params[ns + "ref"] = mpc_dcmotor.reference_signal(
+            np.arange(T) * 0.1
+        )[None, :]
+        params[ns + "xinit"] = np.array([[0.2], [0.2]])
+        r = np.random.default_rng(0)
+        init = {
+            ns + "x": params[ns + "xinit"] + 0.01 * r.random((2, T)),
+            ns + "u": 0.01 * r.random((1, T - 1)),
+        }
+        return params, init
+
+    p1, i1 = inst("spk_")
+    p2, i2 = inst("spd_")
+    s1 = sp.solve(p1, init=i1, mu0=1e-3, max_iter=100)
+    s2 = de.solve(p2, init=i2, mu0=1e-3, max_iter=100)
+    assert s1.ok and s2.ok, (s1.describe(), s2.describe())
+    # different elimination orders/precisions land on the optimum within
+    # solver tolerance, not bitwise-identical iterates
+    np.testing.assert_allclose(s1.outputs["u"], s2.outputs["u"], atol=2e-3)
+    np.testing.assert_allclose(s1.objective, s2.objective, atol=1e-6)
