@@ -154,7 +154,17 @@ class OptimizeSolver:
             self._fns, self.nU, self.nF, self.nG, self.opts
         )
         self.kkt_plan = None
-        if self.opts.kkt_backend in ("auto", "tridiag", "spike"):
+        if self.opts.kkt_backend == "pallas":
+            from .kkt.pallas_ldl import pallas_kkt_factorize
+
+            interp = jax.default_backend() != "tpu"
+            self._solve_raw = build_ipm(
+                self._fns, self.nU, self.nF, self.nG, self.opts,
+                kkt_solver=lambda WW: pallas_kkt_factorize(
+                    WW, interpret=interp
+                ),
+            )
+        elif self.opts.kkt_backend in ("auto", "tridiag", "spike"):
             self._plan_structure()
         self._solve_jit = jax.jit(self._solve_raw)
 

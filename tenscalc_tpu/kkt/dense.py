@@ -240,8 +240,14 @@ def kkt_factorize(
     need_inertia: bool,
     block: int = 64,
     n_refine: int = 2,
-) -> KKTFactorization:
+):
     if need_inertia:
+        if jax.default_backend() == "tpu":
+            # fused Pallas LDL kernel: one launch for the whole
+            # factorization, D signs for inertia, f64 refinement
+            from .pallas_ldl import pallas_kkt_factorize
+
+            return pallas_kkt_factorize(WW, n_refine=n_refine)
         L, d = ldl_factor(WW, block=block)
         return KKTFactorization("ldl", L, d)
     if WW.dtype == jnp.float64 and _lu_needs_f32():
