@@ -407,6 +407,12 @@ class EquilibriumSolver:
         from ..api import _ensure_x64, _split_constraints, _stack_eval, Solution
 
         self.opts = (options or SolverOptions()).replace(**option_kwargs)
+        if not self.opts.skipAffine:
+            raise ValueError(
+                "equilibrium solver implements skipAffine=True only "
+                "(the reference's Mehrotra path for eqlat is a known gap, "
+                "see PARITY.md)"
+            )
         _ensure_x64(self.opts)
         dt = self.opts.np_dtype
 

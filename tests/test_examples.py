@@ -210,3 +210,23 @@ def test_mpc_unicycle_nonlinear():
     # closes at ~ (v - |d|) per unit time; 3s horizon -> big reduction
     assert hist["dist"][-1] < 0.5 * hist["dist"][0]
     assert (np.abs(hist["u"]) <= 2.0 + 1e-8).all()
+
+
+def test_slseq_equality_ls():
+    """Large equality-constrained LS vs the KKT closed form
+    (examples/slseq.m at reduced size)."""
+    from examples import slseq
+
+    N, n, m = 500, 80, 8
+    solver = slseq.build_solver(N, n, m, ns="slqt_")
+    A, b, C, d = slseq.default_data(N, n, m)
+    sol = solver.solve(
+        {"slqt_A": A, "slqt_b": b, "slqt_C": C, "slqt_d": d},
+        init={"slqt_x": np.zeros(n)},
+        mu0=1.0,
+        max_iter=60,
+    )
+    assert sol.ok, sol.describe()
+    xref = slseq.kkt_oracle(A, b, C, d)
+    np.testing.assert_allclose(sol.outputs["x"], xref, atol=1e-5)
+    assert np.abs(C @ sol.outputs["x"] - d).max() < 1e-6

@@ -150,3 +150,25 @@ def test_batched_mpc():
             ),
             atol=1e-4,
         )
+
+
+def test_scaling_harness(qp_solver):
+    """Weak-scaling sweep runs and keeps correctness across mesh sizes
+    (efficiency numbers are only meaningful on real multi-chip)."""
+    from tenscalc_tpu.parallel.scaling import measure_scaling
+
+    solver, n = qp_solver
+
+    def make_batch(B):
+        Qs, cs = _batch_data(n, B, seed=2)
+        penv = {"bQ": jnp.asarray(Qs), "bc": jnp.asarray(cs)}
+        u0 = jnp.zeros((B, n))
+        return u0, penv
+
+    rows = measure_scaling(
+        solver, make_batch, per_device_batch=2,
+        device_counts=(1, 2, 4), mu0=1.0, max_iter=60, reps=1,
+    )
+    assert [r["devices"] for r in rows] == [1, 2, 4]
+    for r in rows:
+        assert r["converged"] == r["batch"], rows
