@@ -48,6 +48,14 @@ def main():
     # problems (validated vs f64: controls match to 4e-7) and avoids
     # f64 software emulation on TPU
     solver = mpc_dcmotor.build_solver(T=T, namespace=ns, dtype="float32")
+    # NOTE: the blocked-LDL backend benches ~1.8x faster per batched
+    # factorization, but unpivoted LDL in f32 breaks down on the real
+    # KKT matrices near convergence (0/1024 converged) — partial
+    # pivoting is what saves the f32 LU path.  Batched solver stays on
+    # the default (pivoted LU + refinement) backend.
+    bsolver = mpc_dcmotor.build_solver(
+        T=T, namespace="benb_", dtype="float32"
+    )
     base = mpc_dcmotor.default_params(T, ns)
     Ts = base[ns + "Ts"]
     rng = np.random.default_rng(0)
@@ -78,23 +86,24 @@ def main():
     # batch amortization: the MXU is far from saturated at this size
     import os
 
-    B = int(os.environ.get("BENCH_BATCH", "256"))
+    B = int(os.environ.get("BENCH_BATCH", "1024"))
     bparams = {}
-    for k, v in base.items():
+    bbase = mpc_dcmotor.default_params(T, "benb_")
+    for k, v in bbase.items():
         arr = np.asarray(v, float)
-        bparams[k] = np.broadcast_to(arr, (B,) + arr.shape).copy()
-    bparams[ns + "ref"] = np.stack(
+        bparams[k.replace("benb_", "benb_")] = np.broadcast_to(arr, (B,) + arr.shape).copy()
+    bparams["benb_ref"] = np.stack(
         [
             mpc_dcmotor.reference_signal(t0_ + np.arange(T) * Ts)[None, :]
             for t0_ in np.linspace(0.0, 6.0, B)
         ]
     )
-    bparams[ns + "xinit"] = rng.uniform(-0.15, 0.15, (B, 2, 1))
+    bparams["benb_xinit"] = rng.uniform(-0.15, 0.15, (B, 2, 1))
     binits = {
-        ns + "x": bparams[ns + "xinit"] + 0.01 * rng.random((B, 2, T)),
-        ns + "u": 0.01 * rng.random((B, 1, T - 1)),
+        "benb_x": bparams["benb_xinit"] + 0.01 * rng.random((B, 2, T)),
+        "benb_u": 0.01 * rng.random((B, 1, T - 1)),
     }
-    res = solve_batched(solver, bparams, inits=binits, mu0=1e-3, max_iter=100)
+    res = solve_batched(bsolver, bparams, inits=binits, mu0=1e-3, max_iter=100)
     res.status.block_until_ready()  # compile + first run
     statuses = np.asarray(res.status)
     n_ok = int((statuses == 0).sum())
@@ -102,7 +111,7 @@ def main():
     n_runs = 3
     for _ in range(n_runs):
         res = solve_batched(
-            solver, bparams, inits=binits, mu0=1e-3, max_iter=100
+            bsolver, bparams, inits=binits, mu0=1e-3, max_iter=100
         )
         res.status.block_until_ready()
     batch_time = (time.perf_counter() - t0_) / n_runs

@@ -154,7 +154,18 @@ class OptimizeSolver:
             self._fns, self.nU, self.nF, self.nG, self.opts
         )
         self.kkt_plan = None
-        if self.opts.kkt_backend == "pallas":
+        if self.opts.kkt_backend == "ldl":
+            from .kkt.dense import kkt_factorize
+
+            blk = self.opts.ldl_block
+            self._solve_raw = build_ipm(
+                self._fns, self.nU, self.nF, self.nG, self.opts,
+                kkt_solver=lambda WW: kkt_factorize(
+                    WW, need_inertia=self.opts.useInertia, block=blk,
+                    force_ldl=True,
+                ),
+            )
+        elif self.opts.kkt_backend == "pallas":
             from .kkt.pallas_ldl import pallas_kkt_factorize
 
             interp = jax.default_backend() != "tpu"

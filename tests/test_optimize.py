@@ -243,3 +243,31 @@ def test_compute(rng):
     out = fn(x=xv, y=yv)
     np.testing.assert_allclose(out["dot"], xv @ yv, rtol=1e-12)
     np.testing.assert_allclose(out["sum"], xv + yv, rtol=1e-12)
+
+
+def test_ldl_backend_matches_dense(rng):
+    """kkt_backend='ldl' (batched-fleet backend) matches the default."""
+    n = 6
+    Q = rng.standard_normal((n, n))
+    Q = Q @ Q.T + n * np.eye(n)
+    c = rng.standard_normal(n)
+    Qv = tc.variable("lb_Q", (n, n))
+    cv = tc.variable("lb_c", (n,))
+    x = tc.variable("lb_x", (n,))
+    J = 0.5 * tc.tprod(x, [-1], Qv @ x, [-1]) + tc.tprod(cv, [-1], x, [-1])
+
+    def build(backend):
+        return tc.optimize(
+            objective=J,
+            optimizationVariables=[x],
+            constraints=[x >= -1.0, x <= 1.0],
+            parameters=[Qv, cv],
+            outputExpressions={"x": x},
+            kkt_backend=backend,
+        )
+
+    s1 = build("dense").solve({"lb_Q": Q, "lb_c": c}, init={"lb_x": np.zeros(n)})
+    s2 = build("ldl").solve({"lb_Q": Q, "lb_c": c}, init={"lb_x": np.zeros(n)})
+    assert s1.ok and s2.ok
+    np.testing.assert_allclose(s2.outputs["x"], s1.outputs["x"], atol=1e-8)
+    assert s1.iters == s2.iters
