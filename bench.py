@@ -51,11 +51,9 @@ def main():
     # NOTE: the blocked-LDL backend benches ~1.8x faster per batched
     # factorization, but unpivoted LDL in f32 breaks down on the real
     # KKT matrices near convergence (0/1024 converged) — partial
-    # pivoting is what saves the f32 LU path.  Batched solver stays on
-    # the default (pivoted LU + refinement) backend.
-    bsolver = mpc_dcmotor.build_solver(
-        T=T, namespace="benb_", dtype="float32"
-    )
+    # pivoting is what saves the f32 LU path.  Batched solving uses the
+    # same (pivoted LU + refinement) solver as the single path.
+    bsolver = solver
     base = mpc_dcmotor.default_params(T, ns)
     Ts = base[ns + "Ts"]
     rng = np.random.default_rng(0)
@@ -88,20 +86,19 @@ def main():
 
     B = int(os.environ.get("BENCH_BATCH", "1024"))
     bparams = {}
-    bbase = mpc_dcmotor.default_params(T, "benb_")
-    for k, v in bbase.items():
+    for k, v in base.items():
         arr = np.asarray(v, float)
-        bparams[k.replace("benb_", "benb_")] = np.broadcast_to(arr, (B,) + arr.shape).copy()
-    bparams["benb_ref"] = np.stack(
+        bparams[k] = np.broadcast_to(arr, (B,) + arr.shape).copy()
+    bparams[ns + "ref"] = np.stack(
         [
             mpc_dcmotor.reference_signal(t0_ + np.arange(T) * Ts)[None, :]
             for t0_ in np.linspace(0.0, 6.0, B)
         ]
     )
-    bparams["benb_xinit"] = rng.uniform(-0.15, 0.15, (B, 2, 1))
+    bparams[ns + "xinit"] = rng.uniform(-0.15, 0.15, (B, 2, 1))
     binits = {
-        "benb_x": bparams["benb_xinit"] + 0.01 * rng.random((B, 2, T)),
-        "benb_u": 0.01 * rng.random((B, 1, T - 1)),
+        ns + "x": bparams[ns + "xinit"] + 0.01 * rng.random((B, 2, T)),
+        ns + "u": 0.01 * rng.random((B, 1, T - 1)),
     }
     res = solve_batched(bsolver, bparams, inits=binits, mu0=1e-3, max_iter=100)
     res.status.block_until_ready()  # compile + first run

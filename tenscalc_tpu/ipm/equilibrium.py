@@ -150,16 +150,60 @@ def build_equilibrium_ipm(fns: _EqFns, dims, opts: SolverOptions):
             axis=1,
         )
         WW = jnp.concatenate([row1, row2, row3], axis=0)
-        b = jnp.concatenate(
-            [-sv, -Gv, -Fv + mu / lam if nF else jnp.zeros((0,), dt)]
-        )
         # unsymmetric system -> pivoted LU (reference default useLDL=false);
         # on TPU this runs as f32 LU + f64 iterative refinement
-        from ..kkt.dense import lu_solve_mixed
+        from ..kkt.dense import kkt_factorize
 
-        dx = lu_solve_mixed(WW, b)
+        fac = kkt_factorize(WW, need_inertia=False)
+
+        if opts.skipAffine or nF == 0:
+            b = jnp.concatenate(
+                [-sv, -Gv, -Fv + mu / lam if nF else jnp.zeros((0,), dt)]
+            )
+            dx = fac.solve(b)
+            mu_new = mu
+        else:
+            # affine direction, sigma = rho^delta mu update, then the
+            # Mehrotra-corrected combined direction — same ordering as
+            # the reference driver (affine solve -> setMu -> combined;
+            # ipmPDeqlat_CS.m:660-716 + ipmPDeq_CSsolver.c)
+            from .solver import line_search_affine
+
+            b_a = jnp.concatenate([-sv, -Gv, -Fv])
+            dx_a = fac.solve(b_a)
+            dZ_a = dx_a[:nZ]
+            dLam_a = dx_a[nZ + nNu :]
+
+            maxAlphaP_a = _clp(Fv, Fz @ dZ_a)
+            maxAlphaDI_a = _clp(lam, dLam_a)
+            aMax = jnp.minimum(
+                jnp.minimum(maxAlphaP_a, opts.alphaMax), maxAlphaDI_a
+            )
+
+            def minF_a(alpha):
+                return jnp.min(Fall(z + alpha * dZ_a))
+
+            alpha_a = line_search_affine(minF_a, aMax, opts, dt)
+            newF_a = Fall(z + alpha_a * dZ_a)
+            newLam_a = lam + alpha_a * dLam_a
+            gap_now = lam @ Fv
+            rho = (newF_a @ newLam_a) / gap_now
+            sigma = jnp.clip(rho, 0.0, 1.0)
+            sigma = sigma**2 if opts.delta == 2 else sigma**3
+            eq_now = _norminf(Gv)
+            eq_ok = (
+                jnp.asarray(True)
+                if nGres == 0
+                else (eq_now < 100 * opts.equalTolerance) | (eq_now < 1e-3)
+            )
+            do_sigma = (alpha_a > opts.alphaMax / 2) & eq_ok
+            mu_new = jnp.where(do_sigma, sigma * gap_now / nF, mu)
+
+            Meh = (Fz @ dZ_a) * dLam_a / lam
+            b = jnp.concatenate([-sv, -Gv, -Fv - Meh + mu_new / lam])
+            dx = fac.solve(b)
         derr = _norminf(WW @ dx - b)
-        return dx, derr, sv, Fz, Fv, Gv
+        return dx, mu_new, derr, sv, Fz, Fv, Gv
 
     def solve(z0, penv, mu0=1.0, max_iter=None) -> IPMResult:
         max_iter_v = jnp.asarray(
@@ -259,9 +303,11 @@ def build_equilibrium_ipm(fns: _EqFns, dims, opts: SolverOptions):
 
         def _iterate(st, g, eq, gap):
             z, nu, lam, mu = st.z, st.nu, st.lam, st.mu
-            dx, derr, sv, Fz, Fv, Gv = compute_direction(
+            dx, mu_aff, derr, sv, Fz, Fv, Gv = compute_direction(
                 z, nu, lam, mu, penv, sFu, sFd, sc
             )
+            if not opts.skipAffine:
+                mu = jnp.maximum(mu_aff, mu_min)
             dZ = dx[:nZ]
             dNu = dx[nZ : nZ + nNu]
             dLam = dx[nZ + nNu :]
@@ -406,13 +452,12 @@ class EquilibriumSolver:
     ):
         from ..api import _ensure_x64, _split_constraints, _stack_eval, Solution
 
-        self.opts = (options or SolverOptions()).replace(**option_kwargs)
-        if not self.opts.skipAffine:
-            raise ValueError(
-                "equilibrium solver implements skipAffine=True only "
-                "(the reference's Mehrotra path for eqlat is a known gap, "
-                "see PARITY.md)"
-            )
+        # 'variant' concerns the optimize solver only; force 'standard'
+        # so timesLambda's option restrictions don't trip (e.g. the
+        # Mehrotra path here with skipAffine=False)
+        self.opts = (options or SolverOptions()).replace(
+            **{"variant": "standard", **option_kwargs}
+        )
         _ensure_x64(self.opts)
         dt = self.opts.np_dtype
 

@@ -118,3 +118,26 @@ def test_latent_inequality_rejected():
             latentVariables=[x],
             latentConstraints=[x >= u],
         )
+
+
+def test_mehrotra_affine_equilibrium():
+    """skipAffine=False: affine + sigma=rho^delta path for the
+    equilibrium solver (reference ipmPDeqlat affine branch) finds the
+    same constrained Nash point."""
+    u = tc.variable("eq7_u", ())
+    d = tc.variable("eq7_d", ())
+    s = tc.equilibrium(
+        P1objective=(u - 2 * d) ** 2,
+        P2objective=(d - 0.5) ** 2,
+        P1optimizationVariables=[u],
+        P2optimizationVariables=[d],
+        P1constraints=[u >= -1.0, u <= 1.0],
+        P2constraints=[d >= -2.0, d <= 2.0],
+        skipAffine=False,
+        desiredDualityGap=1e-9,
+        gradTolerance=1e-7,
+    )
+    sol = s.solve({}, init={"eq7_u": 0.0, "eq7_d": 0.0})
+    assert sol.ok, sol.describe()
+    np.testing.assert_allclose(sol.variables["eq7_d"], 0.5, atol=1e-3)
+    np.testing.assert_allclose(sol.variables["eq7_u"], 1.0, atol=1e-3)
