@@ -301,6 +301,25 @@ class OptimizeSolver:
         elapsed = _time.perf_counter() - t0
         return self._make_solution(res, penv, elapsed)
 
+    def solve_many(
+        self,
+        parameters: Mapping[str, Any],
+        inits: Optional[Mapping[str, Any]] = None,
+        mu0: float = 1.0,
+        max_iter: Optional[int] = None,
+        mesh=None,
+    ):
+        """Solve a batch of instances: every parameter/init leaf carries
+        a leading batch axis.  Sugar over
+        :func:`tenscalc_tpu.parallel.solve_batched` (optionally sharded
+        over a device mesh).  Returns the batched IPMResult."""
+        from .parallel import solve_batched
+
+        return solve_batched(
+            self, parameters, inits=inits, mu0=mu0, max_iter=max_iter,
+            mesh=mesh,
+        )
+
     def solve_result(self, parameters=None, init=None, mu0=1.0,
                      max_iter=None, addEye2Hessian=(1e-9, 1e-9)) -> IPMResult:
         """Raw jitted solve returning device arrays (no host sync) —

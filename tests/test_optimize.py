@@ -271,3 +271,55 @@ def test_ldl_backend_matches_dense(rng):
     assert s1.ok and s2.ok
     np.testing.assert_allclose(s2.outputs["x"], s1.outputs["x"], atol=1e-8)
     assert s1.iters == s2.iters
+
+
+def test_rank3_tensor_variables_and_constraints(rng):
+    """Tensor-valued problems over rank-3 variables with tensor
+    constraints — the reference's headline capability (SURVEY.md §1:
+    'tensor-valued variables', constraints over arbitrary-rank
+    tensors)."""
+    a, b, c = 3, 4, 2
+    T0 = rng.random((a, b, c))
+    Tv = tc.variable("r3_T", (a, b, c))
+    X = tc.variable("r3_X", (a, b, c))
+    # fit X to T0 under a box and a per-slice sum equality
+    J = tc.norm2(X - Tv)
+    cons = [
+        X >= 0.0,
+        X <= 1.0,
+        X.sum(axis=(1, 2)) == 1.0,  # rank-1 equality over a rank-3 var
+    ]
+    solver = tc.optimize(
+        objective=J,
+        optimizationVariables=[X],
+        constraints=cons,
+        parameters=[Tv],
+        outputExpressions={"X": X},
+    )
+    assert solver.nU == a * b * c and solver.nF == 2 * a * b * c
+    assert solver.nG == a
+    sol = solver.solve(
+        {"r3_T": T0}, init={"r3_X": np.full((a, b, c), 1.0 / (b * c))}
+    )
+    assert sol.ok, sol.describe()
+    X = sol.outputs["X"]
+    np.testing.assert_allclose(X.sum(axis=(1, 2)), 1.0, atol=1e-6)
+    assert X.min() >= -1e-8 and X.max() <= 1 + 1e-8
+    # KKT: projection of T0 onto the constraint set — check optimality
+    # via scipy on the flattened problem
+    from scipy.optimize import minimize as sp_minimize
+
+    res = sp_minimize(
+        lambda z: np.sum((z.reshape(a, b, c) - T0) ** 2),
+        np.full(a * b * c, 1.0 / (b * c)),
+        jac=lambda z: 2 * (z - T0.ravel()),
+        bounds=[(0, 1)] * (a * b * c),
+        constraints=[
+            {"type": "eq",
+             "fun": (lambda z, i=i: z.reshape(a, b, c)[i].sum() - 1.0)}
+            for i in range(a)
+        ],
+        method="SLSQP",
+        options={"ftol": 1e-12, "maxiter": 500},
+    )
+    np.testing.assert_allclose(sol.objective, res.fun, atol=1e-5)

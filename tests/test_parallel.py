@@ -172,3 +172,18 @@ def test_scaling_harness(qp_solver):
     assert [r["devices"] for r in rows] == [1, 2, 4]
     for r in rows:
         assert r["converged"] == r["batch"], rows
+
+
+def test_solve_many_api(qp_solver):
+    """solver.solve_many sugar matches solve_batched."""
+    solver, n = qp_solver
+    B = 4
+    Qs, cs = _batch_data(n, B, seed=3)
+    res = solver.solve_many(
+        {"bQ": Qs, "bc": cs}, inits={"bx": np.zeros((B, n))}
+    )
+    assert (np.asarray(res.status) == 0).all()
+    for b in range(B):
+        np.testing.assert_allclose(
+            np.asarray(res.u[b]), _oracle(Qs[b], cs[b]), atol=1e-4
+        )
