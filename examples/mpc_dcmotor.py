@@ -97,9 +97,11 @@ def build_solver(T=30, nX=2, nU=1, namespace="", **options):
         **options,
     )
     solver.namespace = p_
+    # NOTE: use distinct names — OptimizeSolver.nU is the packed primal
+    # dimension and must not be clobbered
     solver.T = T
-    solver.nX = nX
-    solver.nU = nU
+    solver.n_states = nX
+    solver.n_controls = nU
     return solver
 
 
@@ -136,7 +138,7 @@ def run_closed_loop(
     system's exact ZOH discretization is used here)."""
     import scipy.linalg
 
-    T, nX, nU = solver.T, solver.nX, solver.nU
+    T, nX, nU = solver.T, solver.n_states, solver.n_controls
     ns = solver.namespace
     base = default_params(T, ns)
     Ts = base[ns + "Ts"]

@@ -175,7 +175,7 @@ class OptimizeSolver:
                     WW, interpret=interp
                 ),
             )
-        elif self.opts.kkt_backend in ("auto", "tridiag", "spike"):
+        elif self.opts.kkt_backend in ("auto", "tridiag", "cyclic", "spike"):
             self._plan_structure()
         self._solve_jit = jax.jit(self._solve_raw)
 
@@ -244,12 +244,18 @@ class OptimizeSolver:
                 ),
             )
             return
-        if not plan.worthwhile and self.opts.kkt_backend != "tridiag":
+        if not plan.worthwhile and self.opts.kkt_backend not in ("tridiag", "cyclic"):
             return
         self.kkt_plan = plan
+        if self.opts.kkt_backend == "cyclic":
+            from .kkt.cyclic import CyclicFactorization
+
+            kkt_solver = lambda WW: CyclicFactorization(WW, plan)
+        else:
+            kkt_solver = lambda WW: tridiag_factorize(WW, plan)
         self._solve_raw = build_ipm(
             self._fns, self.nU, self.nF, self.nG, self.opts,
-            kkt_solver=lambda WW: tridiag_factorize(WW, plan),
+            kkt_solver=kkt_solver,
         )
 
     # -- parameter/init handling --------------------------------------

@@ -94,8 +94,8 @@ class SolverOptions:
                 raise ValueError("variant='timesLambda' requires skipAffine=True")
             if not self.useLDL:
                 raise ValueError("variant='timesLambda' requires useLDL=True")
-        if self.kkt_backend not in ("dense", "ldl", "tridiag", "auto", "spike", "pallas"):
-            raise ValueError("kkt_backend must be dense|ldl|tridiag|auto|spike|pallas")
+        if self.kkt_backend not in ("dense", "ldl", "tridiag", "cyclic", "auto", "spike", "pallas"):
+            raise ValueError("kkt_backend must be dense|ldl|tridiag|cyclic|auto|spike|pallas")
 
     @property
     def np_dtype(self):
