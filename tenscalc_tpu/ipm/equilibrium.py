@@ -546,6 +546,44 @@ class EquilibriumSolver:
             env[p.name] = v
         return env
 
+    def solve_many(self, parameters=None, inits=None, mu0: float = 1.0,
+                   max_iter: Optional[int] = None):
+        """Batched equilibrium solves (leading batch axis on every
+        parameter/init leaf)."""
+        dt = self.opts.np_dtype
+        parameters = dict(parameters or {})
+        penv = {}
+        B = None
+        for p in self.parameters:
+            v = jnp.asarray(parameters[p.name], dt)
+            if B is None:
+                B = v.shape[0]
+            penv[p.name] = v
+        inits = dict(inits or {})
+        if B is None:
+            for v in inits.values():
+                B = np.asarray(v).shape[0]
+                break
+        if B is None:
+            raise ValueError("need at least one batched parameter or init")
+        env = {}
+        for v in self.p1_vars + self.p2_vars + self.lat_vars:
+            arr = jnp.asarray(
+                inits.get(v.name, jnp.zeros((B,) + v.shape)), dt
+            )
+            env[v.name] = arr.reshape(B, -1)
+        names = (
+            self.pack_u.names + self.pack_d.names + self.pack_x.names
+        )
+        z0 = jnp.concatenate([env[n] for n in names], axis=1)
+        fn = jax.jit(
+            jax.vmap(self._solve_raw, in_axes=(0, 0, None, None))
+        )
+        return fn(
+            z0, penv, jnp.asarray(mu0, dt),
+            self.opts.maxIter if max_iter is None else max_iter,
+        )
+
     def solve(self, parameters=None, init=None, mu0: float = 1.0,
               max_iter: Optional[int] = None):
         import time as _time

@@ -537,6 +537,56 @@ class MinMaxSolver:
             env[p.name] = v
         return env
 
+    def solve_many(
+        self,
+        parameters=None,
+        inits=None,
+        mu0: float = 1.0,
+        max_iter: Optional[int] = None,
+        addEye2Hessian=(1e-9, 1e-9, 1e-9),
+    ):
+        """Batched saddle-point solves: every parameter/init leaf has a
+        leading batch axis (vmapped lockstep fleet, per-instance
+        convergence freezing)."""
+        dt = self.opts.np_dtype
+        parameters = dict(parameters or {})
+        penv = {}
+        B = None
+        for p in self.parameters:
+            v = jnp.asarray(parameters[p.name], dt)
+            if B is None:
+                B = v.shape[0]
+            penv[p.name] = v
+        inits = dict(inits or {})
+        if B is None:
+            for v in inits.values():
+                B = np.asarray(v).shape[0]
+                break
+        if B is None:
+            raise ValueError("need at least one batched parameter or init")
+        env = {}
+        for v in self.min_vars + self.max_vars:
+            arr = jnp.asarray(
+                inits.get(v.name, jnp.zeros((B,) + v.shape)), dt
+            )
+            env[v.name] = arr.reshape(B, -1)
+        z0 = jnp.concatenate(
+            [env[n] for n in self.pack_u.names + self.pack_d.names], axis=1
+        )
+        fn = jax.jit(
+            jax.vmap(
+                self._solve_raw,
+                in_axes=(0, 0, None, None, None, None, None),
+            )
+        )
+        return fn(
+            z0, penv, jnp.asarray(mu0, dt),
+            self.opts.maxIter if max_iter is None else max_iter,
+            jnp.asarray(addEye2Hessian[0], dt),
+            jnp.asarray(addEye2Hessian[1], dt),
+            jnp.asarray(addEye2Hessian[2], dt),
+        )
+
     def solve(
         self,
         parameters=None,

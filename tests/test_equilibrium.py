@@ -141,3 +141,31 @@ def test_mehrotra_affine_equilibrium():
     assert sol.ok, sol.describe()
     np.testing.assert_allclose(sol.variables["eq7_d"], 0.5, atol=1e-3)
     np.testing.assert_allclose(sol.variables["eq7_u"], 1.0, atol=1e-3)
+
+
+def test_equilibrium_solve_many():
+    """Batched Nash fleets match singles."""
+    u = tc.variable("eqb_u", ())
+    d = tc.variable("eqb_d", ())
+    c = tc.variable("eqb_c", ())
+    s = tc.equilibrium(
+        P1objective=u**2 + u * d + c * u,
+        P2objective=d**2 + u * d - d,
+        P1optimizationVariables=[u],
+        P2optimizationVariables=[d],
+        parameters=[c],
+    )
+    B = 3
+    cvals = np.array([0.5, 1.0, 1.5])
+    res = s.solve_many({"eqb_c": cvals}, inits={
+        "eqb_u": np.zeros(B), "eqb_d": np.zeros(B)})
+    assert (np.asarray(res.status) == 0).all(), res.status
+    for b in range(B):
+        single = s.solve({"eqb_c": cvals[b]},
+                         init={"eqb_u": 0.0, "eqb_d": 0.0})
+        np.testing.assert_allclose(
+            np.asarray(res.u[b]),
+            np.concatenate([[single.variables["eqb_u"]],
+                            [single.variables["eqb_d"]]]),
+            atol=1e-6,
+        )

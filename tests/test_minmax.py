@@ -142,3 +142,32 @@ def test_robust_least_squares():
     r = A @ xs - b + ds
     np.testing.assert_allclose(2 * A.T @ r, 0, atol=1e-3)
     np.testing.assert_allclose(2 * r - 100.0 * ds, 0, atol=1e-3)
+
+
+def test_minmax_solve_many():
+    """Batched saddle solves (vmapped fleet) match singles."""
+    import jax.numpy as jnp
+
+    u = tc.variable("mmb_u", ())
+    d = tc.variable("mmb_d", ())
+    a = tc.variable("mmb_a", ())
+    s = tc.minmax(
+        objective=(u + d + a) ** 2 - 2 * (d - 1) ** 2,
+        minOptimizationVariables=[u],
+        maxOptimizationVariables=[d],
+        parameters=[a],
+    )
+    B = 4
+    avals = np.linspace(0.5, 2.0, B)
+    res = s.solve_many({"mmb_a": avals}, inits={
+        "mmb_u": np.zeros(B), "mmb_d": np.zeros(B)})
+    assert (np.asarray(res.status) == 0).all(), res.status
+    for b in range(B):
+        single = s.solve({"mmb_a": avals[b]},
+                         init={"mmb_u": 0.0, "mmb_d": 0.0})
+        np.testing.assert_allclose(
+            np.asarray(res.u[b]),
+            np.concatenate([[single.variables["mmb_u"]],
+                            [single.variables["mmb_d"]]]),
+            atol=1e-6,
+        )
