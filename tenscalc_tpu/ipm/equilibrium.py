@@ -141,6 +141,79 @@ def build_equilibrium_ipm(fns: _EqFns, dims, opts: SolverOptions):
         Fv = Fall(z)
         Fz = jax.jacfwd(Fall)(z) if nF else jnp.zeros((0, nZ), dt)
 
+        if opts.smallerNewtonMatrix and nF:
+            # condensed system: eliminate dLambda
+            # (ipmPDeqlat_CS.m:300-415 small-matrix branch); the
+            # reference regularizes only the nX=0 case — mirrored here
+            LFF = (lam / Fv)[:, None] * Fz          # (nF, nZ)
+            top_left = Sz - Sl @ LFF
+            if nX == 0 and opts.addEye2Hessian:
+                top_left = top_left + 1e-9 * jnp.eye(nZ, dtype=dt)
+            WWs = jnp.concatenate(
+                [
+                    jnp.concatenate([top_left, Sn], axis=1),
+                    jnp.concatenate(
+                        [Gz, jnp.zeros((nGres, nNu), dt)], axis=1
+                    ),
+                ],
+                axis=0,
+            )
+            from ..kkt.dense import kkt_factorize as _kf
+
+            fac_s = _kf(WWs, need_inertia=False)
+            muF = mu / Fv
+            stat_ff = sv - Sl @ lam
+            b_top = -stat_ff - Sl @ muF
+            if opts.skipAffine:
+                b_s = jnp.concatenate([b_top, -Gv])
+                dxz = fac_s.solve(b_s)
+                dZ_s = dxz[:nZ]
+                dLam = muF - lam - LFF @ dZ_s
+                mu_new = mu
+            else:
+                from .solver import line_search_affine
+
+                b_a = jnp.concatenate([-stat_ff, -Gv])
+                dxz_a = fac_s.solve(b_a)
+                dZ_a = dxz_a[:nZ]
+                dLam_a = -lam - LFF @ dZ_a
+                maxAlphaP_a = _clp(Fv, Fz @ dZ_a)
+                maxAlphaDI_a = _clp(lam, dLam_a)
+                aMax = jnp.minimum(
+                    jnp.minimum(maxAlphaP_a, opts.alphaMax), maxAlphaDI_a
+                )
+
+                def minF_a(alpha):
+                    return jnp.min(Fall(z + alpha * dZ_a))
+
+                alpha_a = line_search_affine(minF_a, aMax, opts, dt)
+                newF_a = Fall(z + alpha_a * dZ_a)
+                newLam_a = lam + alpha_a * dLam_a
+                gap_now = lam @ Fv
+                rho = (newF_a @ newLam_a) / gap_now
+                sigma = jnp.clip(rho, 0.0, 1.0)
+                sigma = sigma**2 if opts.delta == 2 else sigma**3
+                eq_now = _norminf(Gv)
+                eq_ok = (
+                    jnp.asarray(True)
+                    if nGres == 0
+                    else (eq_now < 100 * opts.equalTolerance)
+                    | (eq_now < 1e-3)
+                )
+                do_sigma = (alpha_a > opts.alphaMax / 2) & eq_ok
+                mu_new = jnp.where(do_sigma, sigma * gap_now / nF, mu)
+                muF2 = mu_new / Fv
+                Meh = (Fz @ dZ_a) * dLam_a / Fv
+                b_s = jnp.concatenate(
+                    [-stat_ff - Sl @ muF2 - Sl @ Meh, -Gv]
+                )
+                dxz = fac_s.solve(b_s)
+                dZ_s = dxz[:nZ]
+                dLam = muF2 - lam - LFF @ dZ_s - Meh
+            derr = _norminf(WWs @ dxz - b_s)
+            dx = jnp.concatenate([dxz, dLam])
+            return dx, mu_new, derr, sv, Fz, Fv, Gv
+
         row1 = jnp.concatenate([Sz, Sn, Sl], axis=1)
         row2 = jnp.concatenate(
             [Gz, jnp.zeros((nGres, nNu + nF), dt)], axis=1

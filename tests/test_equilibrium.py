@@ -169,3 +169,51 @@ def test_equilibrium_solve_many():
                             [single.variables["eqb_d"]]]),
             atol=1e-6,
         )
+
+
+@pytest.mark.parametrize("skip", [True, False])
+def test_small_newton_matrix_equilibrium(skip):
+    """Condensed (smallerNewtonMatrix) equilibrium variant matches the
+    large matrix (reference ipmPDeqlat small branch), with and without
+    the affine step."""
+    ns = f"eqs{int(skip)}_"
+    u = tc.variable(ns + "u", ())
+    d = tc.variable(ns + "d", ())
+    s = tc.equilibrium(
+        P1objective=(u - 2 * d) ** 2,
+        P2objective=(d - 0.5) ** 2,
+        P1optimizationVariables=[u],
+        P2optimizationVariables=[d],
+        P1constraints=[u >= -1.0, u <= 1.0],
+        P2constraints=[d >= -2.0, d <= 2.0],
+        smallerNewtonMatrix=True,
+        skipAffine=skip,
+        desiredDualityGap=1e-9,
+        gradTolerance=1e-7,
+    )
+    sol = s.solve({}, init={ns + "u": 0.0, ns + "d": 0.0})
+    assert sol.ok, sol.describe()
+    np.testing.assert_allclose(sol.variables[ns + "d"], 0.5, atol=1e-3)
+    np.testing.assert_allclose(sol.variables[ns + "u"], 1.0, atol=1e-3)
+
+
+def test_small_newton_matrix_with_latent():
+    """Condensed variant with latent variables (nX>0 branch)."""
+    u = tc.variable("eqsl_u", ())
+    d = tc.variable("eqsl_d", ())
+    x = tc.variable("eqsl_x", ())
+    J = (x + 1) ** 2 - 2 * (d - 1) ** 2
+    s = tc.equilibrium(
+        P1objective=J,
+        P2objective=-J,
+        P1optimizationVariables=[u],
+        P2optimizationVariables=[d],
+        latentVariables=[x],
+        latentConstraints=[x == u + d],
+        P2constraints=[d >= -3.0, d <= 3.0],
+        smallerNewtonMatrix=True,
+    )
+    sol = s.solve({}, init={"eqsl_u": 0.0, "eqsl_d": 0.0, "eqsl_x": 0.0})
+    assert sol.ok, sol.describe()
+    np.testing.assert_allclose(sol.variables["eqsl_u"], -2.0, atol=1e-3)
+    np.testing.assert_allclose(sol.variables["eqsl_d"], 1.0, atol=1e-3)
