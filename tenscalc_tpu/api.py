@@ -225,6 +225,22 @@ class OptimizeSolver:
                 raise
             return  # structure probing is best-effort under 'auto'
         plan = plan_banded(pattern)
+        if (
+            not plan.worthwhile
+            and self.opts.kkt_backend == "auto"
+        ):
+            # banded failed: look for arrow-plus-band structure (a few
+            # global variables coupling all stages)
+            from .kkt.arrow import ArrowFactorization, plan_arrow
+
+            aplan = plan_arrow(pattern)
+            if aplan is not None and aplan.worthwhile:
+                self.kkt_plan = aplan
+                self._solve_raw = build_ipm(
+                    self._fns, self.nU, self.nF, self.nG, self.opts,
+                    kkt_solver=lambda WW: ArrowFactorization(WW, aplan),
+                )
+                return
         if self.opts.kkt_backend == "spike":
             # horizon-parallel elimination across a device mesh
             from .kkt.spike import SpikeFactorization
