@@ -262,12 +262,12 @@ def kkt_factorize(
         L, d = ldl_factor(WW, block=block)
         return KKTFactorization("ldl", L, d)
     if need_inertia:
-        if jax.default_backend() == "tpu":
-            # fused Pallas LDL kernel: one launch for the whole
-            # factorization, D signs for inertia, f64 refinement
-            from .pallas_ldl import pallas_kkt_factorize
-
-            return pallas_kkt_factorize(WW, n_refine=n_refine)
+        # inertia requires LDL.  Factor in the matrix dtype: unpivoted
+        # LDL in f32 collapses on ill-conditioned IPM endgame KKTs
+        # (verified on TPU: the f32 Pallas/ldl paths stall the solver),
+        # while f64 has enough headroom against the pivot growth.  On
+        # TPU this means emulated f64 — slow but correct; a pivoted
+        # (Bunch-Kaufman) kernel is the planned fast path.
         L, d = ldl_factor(WW, block=block)
         return KKTFactorization("ldl", L, d)
     if WW.dtype == jnp.float64 and _lu_needs_f32():
