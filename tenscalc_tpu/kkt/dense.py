@@ -55,15 +55,24 @@ def ldl_factor_unblocked(A: jax.Array) -> tuple[jax.Array, jax.Array]:
     return L + jnp.eye(n, dtype=A.dtype), d
 
 
-def _ldl_block(M: jax.Array) -> tuple[jax.Array, jax.Array]:
+def _ldl_block(M: jax.Array, clamp: float = 0.0) -> tuple[jax.Array, jax.Array]:
     """Unblocked LDL of a small b x b block (fori_loop keeps the traced
-    graph small — compile time matters as much as runtime here)."""
+    graph small — compile time matters as much as runtime here).
+
+    ``clamp > 0`` applies Cheng-Higham-style pivot modification:
+    d_j <- sign(d_j) max(|d_j|, clamp), bounding elimination growth on
+    near-singular pivots (the factorization then preconditions an
+    iterative refinement against the true matrix).
+    """
     b = M.shape[-1]
     idx = jnp.arange(b)
 
     def body(j, carry):
         L, d, M = carry
         dj = M[j, j]
+        if clamp > 0.0:
+            s = jnp.where(dj >= 0, 1.0, -1.0)
+            dj = s * jnp.maximum(jnp.abs(dj), clamp)
         col = jnp.where(idx > j, M[:, j] / dj, 0.0)
         L = L.at[:, j].set(col)
         d = d.at[j].set(dj)
@@ -76,8 +85,8 @@ def _ldl_block(M: jax.Array) -> tuple[jax.Array, jax.Array]:
     return L + jnp.eye(b, dtype=M.dtype), d
 
 
-@partial(jax.jit, static_argnames=("block",))
-def ldl_factor(A: jax.Array, block: int = 64) -> tuple[jax.Array, jax.Array]:
+@partial(jax.jit, static_argnames=("block", "clamp"))
+def ldl_factor(A: jax.Array, block: int = 64, clamp: float = 0.0) -> tuple[jax.Array, jax.Array]:
     """Blocked right-looking unpivoted LDL^T.
 
     Processes ``block`` columns at a time: factor the diagonal block,
@@ -89,7 +98,7 @@ def ldl_factor(A: jax.Array, block: int = 64) -> tuple[jax.Array, jax.Array]:
     if n == 0:
         return jnp.zeros_like(A), jnp.zeros((0,), dtype=A.dtype)
     if n <= block:
-        return ldl_factor_unblocked(A)
+        return _ldl_block(A, clamp=clamp)
 
     nb = -(-n // block)  # ceil
     npad = nb * block
@@ -98,7 +107,7 @@ def ldl_factor(A: jax.Array, block: int = 64) -> tuple[jax.Array, jax.Array]:
         # restricted to the leading n x n block equals that of A
         Ap = jnp.eye(npad, dtype=A.dtype)
         Ap = Ap.at[:n, :n].set(A)
-        L, d = ldl_factor(Ap, block=block)
+        L, d = ldl_factor(Ap, block=block, clamp=clamp)
         return L[:n, :n], d[:n]
 
     rows = jnp.arange(n)
@@ -108,7 +117,7 @@ def ldl_factor(A: jax.Array, block: int = 64) -> tuple[jax.Array, jax.Array]:
         j0 = k * block
         # diagonal block factor
         Mkk = lax.dynamic_slice(M, (j0, j0), (block, block))
-        Lkk, dk = _ldl_block(Mkk)
+        Lkk, dk = _ldl_block(Mkk, clamp=clamp)
         # panel: all rows, block columns (mask rows <= j0+block-ish)
         panel = lax.dynamic_slice(M, (0, j0), (n, block))
         # solve X * (Lkk dk)^T = panel  =>  X = panel * Lkk^{-T} * dk^{-1}
@@ -202,9 +211,10 @@ class KKTFactorization:
             return jax.scipy.linalg.lu_solve((self.a, self.b), rhs)
         if self.kind == "ldl_ir":
             dt = rhs.dtype
+            fdt = self.a.dtype
 
             def solve32(r):
-                return ldl_solve(self.a, self.b, r.astype(jnp.float32)).astype(dt)
+                return ldl_solve(self.a, self.b, r.astype(fdt)).astype(dt)
 
             x = solve32(rhs)
             for _ in range(self.n_refine):
@@ -255,9 +265,17 @@ def kkt_factorize(
     if force_ldl:
         # blocked LDL: slower than native LU for one instance, but
         # ~1.8x faster under vmap (batched fleets) because its panel
-        # steps and MXU trailing updates vectorize over the batch
-        if WW.dtype == jnp.float64 and _lu_needs_f32():
-            L, d = ldl_factor(WW.astype(jnp.float32), block=block)
+        # steps and MXU trailing updates vectorize over the batch.
+        # In f32 the pivots are clamped (Cheng-Higham modification) and
+        # accuracy restored by refinement against the true matrix.
+        if WW.dtype != jnp.float64:
+            clamp = 1e-7  # pivot modification; 1.5x more IPM iters than pivoted LU
+            L, d = ldl_factor(WW, block=block, clamp=clamp)
+            return KKTFactorization(
+                "ldl_ir", L, d, WW=WW, n_refine=max(n_refine, 2)
+            )
+        if _lu_needs_f32():
+            L, d = ldl_factor(WW.astype(jnp.float32), block=block, clamp=1e-7)
             return KKTFactorization("ldl_ir", L, d, WW=WW, n_refine=n_refine)
         L, d = ldl_factor(WW, block=block)
         return KKTFactorization("ldl", L, d)
