@@ -187,3 +187,15 @@ def test_solve_many_api(qp_solver):
         np.testing.assert_allclose(
             np.asarray(res.u[b]), _oracle(Qs[b], cs[b]), atol=1e-4
         )
+
+
+def test_fleet_mpc_closed_loop():
+    """Fleet of heterogeneous plants controlled in lockstep with
+    solve_many, warm-started each period (examples/mpc_fleet.py)."""
+    from examples import mpc_fleet
+
+    hist = mpc_fleet.run_fleet(B=8, T=10, n_steps=6, ns="flt_")
+    assert (hist["status"] == 0).all()
+    assert hist["x"].shape == (6, 8, 2)
+    # states stay inside the box
+    assert np.abs(hist["x"]).max() < 0.45
