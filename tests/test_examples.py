@@ -230,3 +230,28 @@ def test_slseq_equality_ls():
     xref = slseq.kkt_oracle(A, b, C, d)
     np.testing.assert_allclose(sol.outputs["x"], xref, atol=1e-5)
     assert np.abs(C @ sol.outputs["x"] - d).max() < 1e-6
+
+
+def test_mpc_quadcopter():
+    """Quadcopter trajectory optimization: thrust-magnitude bounds via
+    the slack trick, altitude constraint, tsDerivative/tsDerivative2
+    dynamics (examples/mpcmhe/mpc_quadcopter.m)."""
+    from examples import mpc_quadcopter
+
+    T = 40
+    solver = mpc_quadcopter.build_solver(T, ns="qt_")
+    params = mpc_quadcopter.default_params("qt_")
+    sol = solver.solve(
+        params, init=mpc_quadcopter.hover_init(T, "qt_"),
+        mu0=1e-1, max_iter=300,
+    )
+    assert sol.ok, sol.describe()
+    m = sol.outputs["m_thrust"]
+    assert m.min() >= 5.0 - 1e-5 and m.max() <= 20.0 + 1e-5
+    p = sol.outputs["p"]
+    assert (p[2, :] <= 0.1 + 1e-6).all()  # altitude constraint
+    # moves toward the target
+    tgt = params["qt_pdesired"][:, 0]
+    d0 = np.linalg.norm(p[:, 0] - tgt)
+    d1 = np.linalg.norm(p[:, -1] - tgt)
+    assert d1 < 0.6 * d0
