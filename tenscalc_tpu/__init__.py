@@ -49,6 +49,9 @@ from .ops.fns import (
     vec2tensor,
     tprod,
     pdist2t,
+    interpolate,
+    Ginterpolate,
+    Hinterpolate,
 )
 from .ops.tseries import (
     tsDerivative,
@@ -101,6 +104,9 @@ __all__ = [
     "vec2tensor",
     "tprod",
     "pdist2t",
+    "interpolate",
+    "Ginterpolate",
+    "Hinterpolate",
     "tsDerivative",
     "tsDerivative2",
     "tsIntegral",

@@ -268,30 +268,78 @@ def tprod(*args):
     return jnp.einsum(einsum_str, *tensors)
 
 
-def interpolate(xs, ys, x):
-    """Piecewise-linear interpolation (reference Tcalculus.m:2866)."""
-    f = lift(lambda _xs, _ys, _x: jnp.interp(_x, _xs, _ys))
-    return f(xs, ys, x)
+def _gauss_interp_fn(method, n_query_axes):
+    """Gaussian-kernel table interpolation (reference
+    Tcalculus.m:2866-2919 'convert' path).
+
+    Table points ``Xi`` have shape ``[*sx, K]``, table values ``Yi``
+    shape ``[*sy, K]``, query ``x`` shape ``sx`` (``n_query_axes``
+    axes), smoothing scale ``S`` scalar.  Returns shape ``sy``:
+      ugaussian:  F(x) = sum_k Yi_k exp(-||x-Xi_k||^2 / (2 S^2))
+      ngaussian:  F(x) / sum_k exp(-||x-Xi_k||^2 / (2 S^2))
+        (Nadaraya-Watson normalized kernel regression)
+    """
+
+    def impl(_x, _Xi, _Yi, _S):
+        D = _Xi - _x[..., None]                       # [*sx, K]
+        D2 = jnp.sum(D * D, axis=tuple(range(n_query_axes)))  # [K]
+        ED2 = jnp.exp(-D2 / (2.0 * _S * _S))
+        F = jnp.tensordot(_Yi, ED2, axes=[[-1], [0]])
+        if method == "ngaussian":
+            F = F / jnp.sum(ED2)
+        elif method != "ugaussian":
+            raise ValueError(f"unknown interpolation method '{method}'")
+        return F
+
+    return impl
 
 
-def Ginterpolate(xs, ys, x):
-    """Derivative of the interpolant wrt the query point (reference
-    Tcalculus Ginterpolate, :2866-3048) — via jax.grad of interpolate."""
+def interpolate(x, Xi, Yi, S=None, method="linear"):
+    """Table interpolation (reference Tcalculus.m:2866-2919).
 
-    def impl(_xs, _ys, _x):
-        g = jax.grad(lambda q: jnp.interp(q, _xs, _ys))
-        return jax.vmap(g)(jnp.atleast_1d(_x)).reshape(jnp.shape(_x))
+    ``method='linear'`` (TPU-idiomatic extra): 1-D piecewise-linear
+    ``jnp.interp`` over a sorted table, ``interpolate(x, Xi, Yi)``.
+    ``method='ugaussian' | 'ngaussian'`` (reference semantics): smooth
+    Gaussian-kernel interpolation over scattered multi-dimensional
+    tables; requires the scale ``S``."""
+    if method == "linear":
+        return lift(lambda _x, _Xi, _Yi: jnp.interp(_x, _Xi, _Yi))(x, Xi, Yi)
+    nq = len(getattr(x, "shape", np.shape(x)))
+    return lift(_gauss_interp_fn(method, nq))(x, Xi, Yi, S)
 
-    return lift(impl)(xs, ys, x)
+
+def Ginterpolate(x, Xi, Yi, S=None, method="linear"):
+    """Gradient of the interpolant wrt the query point (reference
+    Tcalculus.m:2921-2977).  Output shape ``[*sy, *sx]``."""
+    if method == "linear":
+        def impl(_x, _Xi, _Yi):
+            g = jax.grad(lambda q: jnp.interp(q, _Xi, _Yi))
+            return jax.vmap(g)(jnp.atleast_1d(_x)).reshape(jnp.shape(_x))
+
+        return lift(impl)(x, Xi, Yi)
+    nq = len(getattr(x, "shape", np.shape(x)))
+    base = _gauss_interp_fn(method, nq)
+
+    def impl(_x, _Xi, _Yi, _S):
+        return jax.jacfwd(lambda q: base(q, _Xi, _Yi, _S))(_x)
+
+    return lift(impl)(x, Xi, Yi, S)
 
 
-def Hinterpolate(xs, ys, x):
-    """Second derivative of the interpolant wrt the query point
-    (reference Hinterpolate).  Zero a.e. for a piecewise-linear table —
-    provided for API parity; use a smooth table for curvature."""
+def Hinterpolate(x, Xi, Yi, S=None, method="linear"):
+    """Hessian of the interpolant wrt the query point (reference
+    Tcalculus.m:2980-3043).  Output shape ``[*sy, *sx, *sx]``; zero
+    a.e. for the piecewise-linear method."""
+    if method == "linear":
+        def impl(_x, _Xi, _Yi):
+            h = jax.grad(jax.grad(lambda q: jnp.interp(q, _Xi, _Yi)))
+            return jax.vmap(h)(jnp.atleast_1d(_x)).reshape(jnp.shape(_x))
 
-    def impl(_xs, _ys, _x):
-        h = jax.grad(jax.grad(lambda q: jnp.interp(q, _xs, _ys)))
-        return jax.vmap(h)(jnp.atleast_1d(_x)).reshape(jnp.shape(_x))
+        return lift(impl)(x, Xi, Yi)
+    nq = len(getattr(x, "shape", np.shape(x)))
+    base = _gauss_interp_fn(method, nq)
 
-    return lift(impl)(xs, ys, x)
+    def impl(_x, _Xi, _Yi, _S):
+        return jax.jacfwd(jax.jacfwd(lambda q: base(q, _Xi, _Yi, _S)))(_x)
+
+    return lift(impl)(x, Xi, Yi, S)

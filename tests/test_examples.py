@@ -255,3 +255,19 @@ def test_mpc_quadcopter():
     d0 = np.linalg.norm(p[:, 0] - tgt)
     d1 = np.linalg.norm(p[:, -1] - tgt)
     assert d1 < 0.6 * d0
+
+
+def test_mpcmhe_unicycle_pursuit():
+    """Nonlinear MPC-MHE pursuit game: all solves clean, control within
+    bounds, pursuer closes on the evader
+    (examples/mpcmhe/mpcmhe_unicycle.m)."""
+    from examples import mpcmhe_unicycle
+
+    T, L = 10, 8
+    solver = mpcmhe_unicycle.build_solver(T=T, L=L, ns="unit_")
+    hist = mpcmhe_unicycle.run_closed_loop(solver, n_steps=30, seed=0)
+    assert (hist["status"] == 0).all(), hist["status"]
+    assert len(hist["t"]) == 30
+    assert (np.abs(hist["u"]) <= 1.5 + 1e-6).all()
+    # pursuer gains on the evader once the measurement window fills
+    assert hist["dist"][-1] < 0.75 * hist["dist"][L], hist["dist"]

@@ -90,3 +90,75 @@ def test_pdist2t(rng):
     y = rng.standard_normal((3, 5))
     expected = ((x[:, :, None] - y[:, None, :]) ** 2).sum(0)
     np.testing.assert_allclose(fns.pdist2t(x, y), expected, rtol=1e-12)
+
+
+def test_interpolate_linear(rng):
+    xs = np.linspace(0.0, 1.0, 11)
+    ys = np.sin(xs)
+    q = rng.uniform(0.05, 0.95, 7)
+    np.testing.assert_allclose(
+        fns.interpolate(q, xs, ys), np.interp(q, xs, ys), rtol=1e-6
+    )
+    # derivative = slope of the active segment
+    g = fns.Ginterpolate(np.array(0.123), xs, ys)
+    seg = int(0.123 * 10)
+    slope = (ys[seg + 1] - ys[seg]) / (xs[seg + 1] - xs[seg])
+    np.testing.assert_allclose(g, slope, rtol=1e-5)
+
+
+def test_interpolate_gaussian_oracle(rng):
+    """ugaussian/ngaussian against the reference formulas
+    (Tcalculus.m:2900-2911): F = sum_k Yi_k exp(-||x-Xi_k||^2/(2S^2)),
+    ngaussian normalizes by sum_k of the kernel."""
+    nq, K, m = 2, 9, 3
+    Xi = rng.standard_normal((nq, K))
+    Yi = rng.standard_normal((m, K))
+    x = rng.standard_normal(nq)
+    S = 0.7
+    w = np.exp(-((Xi - x[:, None]) ** 2).sum(0) / (2 * S**2))
+    np.testing.assert_allclose(
+        fns.interpolate(x, Xi, Yi, S, method="ugaussian"), Yi @ w, rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        fns.interpolate(x, Xi, Yi, S, method="ngaussian"),
+        Yi @ w / w.sum(),
+        rtol=1e-5,
+    )
+
+
+def test_ginterpolate_hinterpolate_fd(rng):
+    """G/Hinterpolate (shape [sy,sx] / [sy,sx,sx], Tcalculus.m:2946,3005)
+    vs central finite differences of interpolate."""
+    nq, K, m = 2, 6, 2
+    Xi = rng.standard_normal((nq, K))
+    Yi = rng.standard_normal((m, K))
+    x = 0.3 * rng.standard_normal(nq)
+    S = 1.1
+    for method in ("ugaussian", "ngaussian"):
+        f = lambda q: np.asarray(fns.interpolate(q, Xi, Yi, S, method=method))
+        G = np.asarray(fns.Ginterpolate(x, Xi, Yi, S, method=method))
+        H = np.asarray(fns.Hinterpolate(x, Xi, Yi, S, method=method))
+        assert G.shape == (m, nq) and H.shape == (m, nq, nq)
+        eps = 1e-4
+        for j in range(nq):
+            e = np.zeros(nq)
+            e[j] = eps
+            fd = (f(x + e) - f(x - e)) / (2 * eps)
+            np.testing.assert_allclose(G[:, j], fd, rtol=2e-3, atol=1e-6)
+            gd = (
+                np.asarray(fns.Ginterpolate(x + e, Xi, Yi, S, method=method))
+                - np.asarray(fns.Ginterpolate(x - e, Xi, Yi, S, method=method))
+            ) / (2 * eps)
+            np.testing.assert_allclose(H[:, :, j], gd, rtol=2e-3, atol=1e-6)
+
+
+def test_interpolate_on_expr(rng):
+    """interpolate lifts through Expr (usable inside objectives)."""
+    K = 8
+    Xi = np.linspace(-1, 1, K).reshape(1, K)
+    Yi = (Xi**2).reshape(1, K)
+    x = tc.variable("itp_x", (1,))
+    e = fns.interpolate(x, Xi, Yi, 0.5, method="ngaussian")
+    val = e({"itp_x": np.array([0.2])})
+    w = np.exp(-((Xi - 0.2) ** 2).sum(0) / (2 * 0.25))
+    np.testing.assert_allclose(val, Yi @ w / w.sum(), rtol=1e-5)

@@ -98,6 +98,61 @@ def test_case4_minimizer_bounds():
     )
 
 
+def test_case3p5_maximizer_bounds_and_latent_equality():
+    """f = x^2 - 2(d+2)^2 with d in (-1,1) and x == u+d as maximizer
+    constraints (case 3.5) -> d=-1, u=1, x=0."""
+    u = tc.variable("mm35_u", ())
+    d = tc.variable("mm35_d", ())
+    x = tc.variable("mm35_x", ())
+    sol = _solve(
+        x**2 - 2 * (d + 2) ** 2,
+        [u], [d, x],
+        maxc=[d >= -1.0, d <= 1.0, x == u + d],
+        init={"mm35_u": 0.1, "mm35_d": 0.1, "mm35_x": 0.1},
+    )
+    assert sol.ok, sol.describe()
+    np.testing.assert_allclose(sol.variables["mm35_d"], -1.0, atol=1e-3)
+    np.testing.assert_allclose(sol.variables["mm35_u"], 1.0, atol=1e-3)
+    np.testing.assert_allclose(sol.variables["mm35_x"], 0.0, atol=1e-3)
+
+
+def test_case5_bounds_both_players():
+    """f = (u+d)^2 - 2(d+2)^2, u in (-2,2), d in (-1,1) (case 5)
+    -> interior u=1, active bound d=-1."""
+    u = tc.variable("mm50_u", ())
+    d = tc.variable("mm50_d", ())
+    sol = _solve(
+        (u + d) ** 2 - 2 * (d + 2) ** 2,
+        [u], [d],
+        minc=[u >= -2.0, u <= 2.0],
+        maxc=[d >= -1.0, d <= 1.0],
+        init={"mm50_u": 0.1, "mm50_d": 0.1},
+    )
+    assert sol.ok, sol.describe()
+    np.testing.assert_allclose(sol.variables["mm50_u"], 1.0, atol=1e-3)
+    np.testing.assert_allclose(sol.variables["mm50_d"], -1.0, atol=1e-3)
+
+
+def test_case5p5_full_combination():
+    """f = x^2 - 2(d+2)^2, u in (-2,2), d in (-1,1), x == u+d — the
+    reference's shipping configuration (minmaxTest.m case 5.5, the
+    `switch 5.5` default) -> u=1, d=-1, x=0."""
+    u = tc.variable("mm55_u", ())
+    d = tc.variable("mm55_d", ())
+    x = tc.variable("mm55_x", ())
+    sol = _solve(
+        x**2 - 2 * (d + 2) ** 2,
+        [u], [d, x],
+        minc=[u >= -2.0, u <= 2.0],
+        maxc=[d >= -1.0, d <= 1.0, x == u + d],
+        init={"mm55_u": 0.1, "mm55_d": 0.1, "mm55_x": 0.1},
+    )
+    assert sol.ok, sol.describe()
+    np.testing.assert_allclose(sol.variables["mm55_u"], 1.0, atol=1e-3)
+    np.testing.assert_allclose(sol.variables["mm55_d"], -1.0, atol=1e-3)
+    np.testing.assert_allclose(sol.variables["mm55_x"], 0.0, atol=1e-3)
+
+
 def test_min_constraints_cannot_depend_on_max_vars():
     u = tc.variable("mm6_u", ())
     d = tc.variable("mm6_d", ())
