@@ -282,3 +282,104 @@ def test_mpcmhe_estimates_state_and_controls(rng):
     )
     # future states decay toward zero under the planned controls
     assert abs(sol.state[0, -1]) < abs(sol.state[0, L]) + 1e-9
+
+
+# ---------------------------------------------------------------------------
+# Sysid probabilistic extensions (TCsysid noise models + forecasts)
+# ---------------------------------------------------------------------------
+
+def test_sysid_estimates_noise_variance(rng):
+    """noise_std='estimate': the inverse variance becomes an optimization
+    variable (TCsysid nStochasticInputsUnknownVariance); with hard
+    dynamics and y = x + e the MLE is w = N / ||e_resid||^2, so the
+    reported noiseStdDev must track the injected sigma."""
+    N, a_true, b_true, sigma = 60, 0.8, 0.5, 0.05
+    u_seq = rng.standard_normal((1, N))
+    x_seq = np.zeros((1, N))
+    for k in range(N - 1):
+        x_seq[0, k + 1] = a_true * x_seq[0, k] + b_true * u_seq[0, k]
+    y_seq = x_seq + sigma * rng.standard_normal((1, N))
+
+    sysid = tc.Sysid(
+        f=lambda x, u, a, b: a * x + b * u,
+        g=lambda x, a, b: x,
+        n_states=1, n_outputs=1, n_inputs=1, horizon=N,
+        parameters=[
+            tc.ParameterSpec("a", (), lower=0.0, upper=1.0),
+            tc.ParameterSpec("b", (), lower=-2.0, upper=2.0),
+        ],
+        name="sysv",
+        noise_std="estimate",
+    )
+    sol, est = sysid.fit(u_seq, y_seq, x0=y_seq)
+    assert sol.ok, sol.describe()
+    np.testing.assert_allclose(float(est["a"]), a_true, atol=0.05)
+    np.testing.assert_allclose(float(est["b"]), b_true, atol=0.05)
+    shat = float(np.asarray(sol.outputs["noiseStdDev"]))
+    assert 0.5 * sigma < shat < 1.6 * sigma, shat
+    assert np.isfinite(float(np.asarray(sol.outputs["logJoint"])))
+
+
+def test_sysid_forecast_laplace_oracle(rng):
+    """Soft-dynamics fit + forecast: Laplace CI against the exact
+    linear-Gaussian Hessian assembled in numpy (the model is quadratic
+    so the Laplace approximation is exact)."""
+    N, a_true, sigma_y, sigma_v = 40, 0.9, 0.1, 0.05
+    u_seq = rng.standard_normal((1, N))
+    x_seq = np.zeros((1, N))
+    for k in range(N - 1):
+        x_seq[0, k + 1] = (a_true * x_seq[0, k] + 0.5 * u_seq[0, k]
+                           + sigma_v * rng.standard_normal())
+    y_seq = x_seq + sigma_y * rng.standard_normal((1, N))
+    inst = np.array([5, 20, 35])
+
+    sysid = tc.Sysid(
+        f=lambda x, u, a: a * x + 0.5 * u,
+        g=lambda x, a: x,
+        n_states=1, n_outputs=1, n_inputs=1, horizon=N,
+        parameters=[tc.ParameterSpec("a", (), lower=-2.0, upper=2.0)],
+        name="sysf",
+        noise_std=sigma_y,
+        disturbance_std=sigma_v,
+        forecast_instants=inst,
+    )
+    sol, est = sysid.fit(u_seq, y_seq, x0=y_seq, mu0=1.0)
+    assert sol.ok, sol.describe()
+    rep = sysid.forecast(sol, u_seq, y_seq)
+    assert rep["H_sign"] > 0
+    assert np.isfinite(rep["logMarginal"])
+    # forecast mean = smoothed output at the instants
+    xs = np.asarray(sol.outputs["x"])
+    np.testing.assert_allclose(rep["mean"], xs[:, inst], rtol=1e-8)
+
+    # exact-H oracle: z = [x, fvec], quadratic neg-log-joint
+    a = float(est["a"])
+    wY, wV = 1.0 / sigma_y**2, 1.0 / sigma_v**2
+    D = np.zeros((N - 1, N))
+    for k in range(N - 1):
+        D[k, k], D[k, k + 1] = -a, 1.0
+    S = np.zeros((len(inst), N))
+    S[np.arange(len(inst)), inst] = 1.0
+    H = np.zeros((N + len(inst), N + len(inst)))
+    H[:N, :N] = wY * np.eye(N) + wV * D.T @ D + wY * S.T @ S
+    H[:N, N:] = -wY * S.T
+    H[N:, :N] = -wY * S
+    H[N:, N:] = wY * np.eye(len(inst))
+    var = np.diag(np.linalg.inv(H))[N:]
+    np.testing.assert_allclose(
+        rep["std"].ravel(), np.sqrt(var), rtol=1e-6
+    )
+    # and the variance decomposition: fvar = posterior var + 1/wY
+    assert (rep["std"].ravel() ** 2 > 1.0 / wY).all()
+
+
+def test_sysid_forecast_requires_soft_dynamics():
+    with pytest.raises(ValueError, match="stochastic"):
+        tc.Sysid(
+            f=lambda x, u, a: a * x,
+            g=lambda x, a: x,
+            n_states=1, n_outputs=1, n_inputs=1, horizon=10,
+            parameters=[tc.ParameterSpec("a", ())],
+            name="sysh",
+            forecast_instants=[3],
+        )
