@@ -169,10 +169,24 @@ class OptimizeSolver:
             from .kkt.pallas_ldl import pallas_kkt_factorize
 
             interp = jax.default_backend() != "tpu"
+            # pivot clamping (Cheng-Higham) keeps the f32 kernel from
+            # collapsing on IPM endgame KKT matrices (same setting as the
+            # 'ldl' backend in kkt/dense.py)
             self._solve_raw = build_ipm(
                 self._fns, self.nU, self.nF, self.nG, self.opts,
                 kkt_solver=lambda WW: pallas_kkt_factorize(
-                    WW, interpret=interp
+                    WW, interpret=interp, clamp=1e-7
+                ),
+            )
+        elif self.opts.kkt_backend == "fleet":
+            # batch-in-lanes Pallas LDL: per-instance semantics here, the
+            # fleet kernel engages under vmap (parallel/batch.py fleets)
+            from .kkt.fleet import fleet_kkt_factorize
+
+            self._solve_raw = build_ipm(
+                self._fns, self.nU, self.nF, self.nG, self.opts,
+                kkt_solver=lambda WW: fleet_kkt_factorize(
+                    WW, n_refine=self.opts.kkt_refine
                 ),
             )
         elif self.opts.kkt_backend in ("auto", "tridiag", "cyclic", "spike"):

@@ -65,6 +65,11 @@ class SolverOptions:
     # -- numerics ------------------------------------------------------
     dtype: str = "float64"  # IPM conditioning ~1/mu needs f64 on TPU
     ldl_block: int = 64
+    # iterative-refinement sweeps after the f32 factorization solve
+    # (mixed-precision contract, kkt/dense.py); more sweeps cost one
+    # matvec + one substitution pair each but cut direction error —
+    # worth it when stragglers trip the addEye2Hessian adaptation
+    kkt_refine: int = 2
     # KKT backend: 'dense', 'tridiag' (block-tridiagonal structured
     # elimination for MPC horizons), 'spike' (tridiag partitioned across
     # a device mesh — pass kkt_mesh to optimize()), or 'auto'
@@ -94,8 +99,8 @@ class SolverOptions:
                 raise ValueError("variant='timesLambda' requires skipAffine=True")
             if not self.useLDL:
                 raise ValueError("variant='timesLambda' requires useLDL=True")
-        if self.kkt_backend not in ("dense", "ldl", "tridiag", "cyclic", "auto", "spike", "pallas"):
-            raise ValueError("kkt_backend must be dense|ldl|tridiag|cyclic|auto|spike|pallas")
+        if self.kkt_backend not in ("dense", "ldl", "tridiag", "cyclic", "auto", "spike", "pallas", "fleet"):
+            raise ValueError("kkt_backend must be dense|ldl|tridiag|cyclic|auto|spike|pallas|fleet")
 
     @property
     def np_dtype(self):

@@ -366,7 +366,8 @@ def build_ipm(
     def _factor(WW):
         if kkt_solver is not None:
             return kkt_solver(WW)
-        return kkt_factorize(WW, need_inertia=opts.useInertia, block=opts.ldl_block)
+        return kkt_factorize(WW, need_inertia=opts.useInertia, block=opts.ldl_block,
+                             n_refine=opts.kkt_refine)
 
     # ------------------------------------------------------------------
     # batched backtracking line search (lib/ipmPD_CSsolver.c:679-756)

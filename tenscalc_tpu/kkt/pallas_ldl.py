@@ -38,8 +38,13 @@ BS = 128  # panel width = MXU/VPU lane count
 _DN_OUTER = (((0,), (0,)), ((), ()))  # contract leading axes: A^T @ B
 
 
-def _ldl_kernel(nb: int, A_ref, Lt_ref, d_ref, M):
-    """Row-oriented LDL: Lt[c, :] = column c of L; M is updated row-wise."""
+def _ldl_kernel(nb: int, clamp: float, A_ref, Lt_ref, d_ref, M):
+    """Row-oriented LDL: Lt[c, :] = column c of L; M is updated row-wise.
+
+    ``clamp > 0`` applies the Cheng-Higham pivot modification
+    d_j <- sign(d_j) max(|d_j|, clamp), bounding elimination growth on
+    near-singular pivots (same contract as kkt/dense.py _ldl_block) —
+    required for f32 robustness on IPM endgame KKT matrices."""
     n = nb * BS
     M[:] = A_ref[:]
     Lt_ref[:] = jnp.zeros((n, n), jnp.float32)
@@ -53,6 +58,9 @@ def _ldl_kernel(nb: int, A_ref, Lt_ref, d_ref, M):
             c = base + j
             rowc = M[pl.ds(c, 1), :]                       # (1, n)
             dj = jnp.sum(jnp.where(cols == c, rowc, 0.0))
+            if clamp > 0.0:
+                s = jnp.where(dj >= 0.0, 1.0, -1.0)
+                dj = s * jnp.maximum(jnp.abs(dj), clamp)
             r = jnp.where(cols > c, rowc / dj, 0.0)        # (1, n) = L[:,c]^T
             Lt_ref[pl.ds(c, 1), :] = r
             d_ref[:] = jnp.where(cols == c, dj, d_ref[:])
@@ -127,14 +135,14 @@ def _pad_to_blocks(A):
     return Ap, n, nb
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def pallas_ldl_factor(A, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("interpret", "clamp"))
+def pallas_ldl_factor(A, interpret: bool = False, clamp: float = 0.0):
     """Fused LDL^T of a symmetric matrix (f32): returns (Lt, d) with
     Lt = L^T (row c of Lt holds column c of unit-lower L)."""
     Ap, n, nb = _pad_to_blocks(A)
     npad = nb * BS
     Lt, d = pl.pallas_call(
-        functools.partial(_ldl_kernel, nb),
+        functools.partial(_ldl_kernel, nb, clamp),
         out_shape=(
             jax.ShapeDtypeStruct((npad, npad), jnp.float32),
             jax.ShapeDtypeStruct((1, npad), jnp.float32),
@@ -188,11 +196,13 @@ class PallasLDLFactorization:
     """KKT-backend adapter: Pallas f32 LDL with f64 iterative refinement
     and inertia from the D diagonal."""
 
-    def __init__(self, WW, n_refine: int = 2, interpret: bool = False):
+    def __init__(self, WW, n_refine: int = 2, interpret: bool = False,
+                 clamp: float = 0.0):
         self.WW = WW
         self.n_refine = n_refine
         self.interpret = interpret
-        self.Lt, self.d = pallas_ldl_factor(WW, interpret=interpret)
+        self.Lt, self.d = pallas_ldl_factor(WW, interpret=interpret,
+                                            clamp=clamp)
 
     def _solve32(self, rhs):
         return pallas_ldl_solve(self.Lt, self.d, rhs, interpret=self.interpret)
@@ -212,5 +222,7 @@ class PallasLDLFactorization:
         return mp, mn
 
 
-def pallas_kkt_factorize(WW, n_refine: int = 2, interpret: bool = False):
-    return PallasLDLFactorization(WW, n_refine=n_refine, interpret=interpret)
+def pallas_kkt_factorize(WW, n_refine: int = 2, interpret: bool = False,
+                         clamp: float = 0.0):
+    return PallasLDLFactorization(WW, n_refine=n_refine, interpret=interpret,
+                                  clamp=clamp)
