@@ -150,8 +150,18 @@ class OptimizeSolver:
             return _stack_eval(G_exprs, env).astype(dt)
 
         self._fns = IPMFunctions(f=f_fn, F=F_fn, G=G_fn)
+        # build-time invariance analysis: QP-like problems get their
+        # Hessian / constraint Jacobians hoisted out of the IPM loop
+        # (ipm/hoist.py; the reference's dependency-group reactivity)
+        from .ipm.hoist import analyze_hoistable
+
+        self._hoist = analyze_hoistable(
+            self._fns, self.nU, self.nF, self.nG, dt,
+            {p.name: p.shape for p in self.parameters},
+        )
         self._solve_raw = build_ipm(
-            self._fns, self.nU, self.nF, self.nG, self.opts
+            self._fns, self.nU, self.nF, self.nG, self.opts,
+            hoist=self._hoist,
         )
         self.kkt_plan = None
         if self.opts.kkt_backend == "ldl":
@@ -160,6 +170,7 @@ class OptimizeSolver:
             blk = self.opts.ldl_block
             self._solve_raw = build_ipm(
                 self._fns, self.nU, self.nF, self.nG, self.opts,
+                hoist=self._hoist,
                 kkt_solver=lambda WW: kkt_factorize(
                     WW, need_inertia=self.opts.useInertia, block=blk,
                     force_ldl=True,
@@ -174,6 +185,7 @@ class OptimizeSolver:
             # 'ldl' backend in kkt/dense.py)
             self._solve_raw = build_ipm(
                 self._fns, self.nU, self.nF, self.nG, self.opts,
+                hoist=self._hoist,
                 kkt_solver=lambda WW: pallas_kkt_factorize(
                     WW, interpret=interp, clamp=1e-7
                 ),
@@ -185,6 +197,7 @@ class OptimizeSolver:
 
             self._solve_raw = build_ipm(
                 self._fns, self.nU, self.nF, self.nG, self.opts,
+                hoist=self._hoist,
                 kkt_solver=lambda WW: fleet_kkt_factorize(
                     WW, n_refine=self.opts.kkt_refine
                 ),
@@ -252,6 +265,7 @@ class OptimizeSolver:
                 self.kkt_plan = aplan
                 self._solve_raw = build_ipm(
                     self._fns, self.nU, self.nF, self.nG, self.opts,
+                    hoist=self._hoist,
                     kkt_solver=lambda WW: ArrowFactorization(WW, aplan),
                 )
                 return
@@ -269,6 +283,7 @@ class OptimizeSolver:
             self.kkt_plan = plan
             self._solve_raw = build_ipm(
                 self._fns, self.nU, self.nF, self.nG, self.opts,
+                hoist=self._hoist,
                 kkt_solver=lambda WW: SpikeFactorization(
                     WW, plan, mesh, axis=axis
                 ),
@@ -285,6 +300,7 @@ class OptimizeSolver:
             kkt_solver = lambda WW: tridiag_factorize(WW, plan)
         self._solve_raw = build_ipm(
             self._fns, self.nU, self.nF, self.nG, self.opts,
+            hoist=self._hoist,
             kkt_solver=kkt_solver,
         )
 

@@ -1,0 +1,102 @@
+"""Loop-invariant derivative hoisting for the IPM.
+
+TensCalc's generated code is *reactive*: expressions are grouped by
+dependency signature and a group only re-executes when one of its
+inputs changed (lib/@csparse/dependencyGroups.m,
+writeCfunctionpergroup.m:44 groupStatus dirty bits) — so for a QP the
+Hessian and constraint Jacobians are computed once per parameter set,
+not once per iteration.  Under jit the AD recipe for H = d2L/du2
+formally depends on the carried iterates even when the value does not
+(quadratic objective, linear constraints), so XLA's loop-invariant code
+motion cannot hoist it out of the ``lax.while_loop``.
+
+This module recovers the reference's behavior with a build-time jaxpr
+taint analysis: trace the derivative function once with dummy inputs
+and check whether any output actually *depends* on the iterate
+arguments.  If not, the solver computes it once per solve, before the
+loop.  The analysis is conservative (any equation touching a tainted
+variable taints all its outputs, including through nested jaxprs), so a
+false "depends" only costs performance, never correctness.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.tree_util import tree_flatten
+
+try:  # jax >= 0.4.x moved core types under jax.extend
+    from jax.extend.core import Literal as _Literal
+except Exception:  # pragma: no cover
+    from jax.core import Literal as _Literal  # type: ignore
+
+
+def output_independent_of(fn, n_tainted: int, *example_args) -> bool:
+    """True if every output of ``fn(*example_args)`` is independent of
+    the first ``n_tainted`` (pytree) arguments.
+
+    Equations are walked in order (jaxprs are topologically sorted);
+    taint propagates through every primitive, including ones carrying
+    sub-jaxprs (scan/cond/pjit), by the sound over-approximation
+    "any tainted input taints all outputs"."""
+    closed = jax.make_jaxpr(fn)(*example_args)
+    jaxpr = closed.jaxpr
+    leaf_counts = [len(tree_flatten(a)[0]) for a in example_args]
+    k = sum(leaf_counts[:n_tainted])
+    tainted = {id(v) for v in jaxpr.invars[:k]}
+    for eqn in jaxpr.eqns:
+        ins = [v for v in eqn.invars if not isinstance(v, _Literal)]
+        if any(id(v) in tainted for v in ins):
+            tainted |= {id(v) for v in eqn.outvars}
+    return not any(
+        id(v) in tainted
+        for v in jaxpr.outvars
+        if not isinstance(v, _Literal)
+    )
+
+
+def analyze_hoistable(fns, nU: int, nF: int, nG: int, dt, param_shapes):
+    """Decide which IPM derivative matrices are iteration-invariant.
+
+    Returns ``(h_const, fu_const, gu_const)`` for the Lagrangian Hessian
+    d2L/du2 (wrt u, nu, lam jointly) and the constraint Jacobians dF/du,
+    dG/du (wrt u).  ``param_shapes`` maps parameter name -> shape; dummy
+    zeros stand in for runtime values (the analysis is shape-only).
+    """
+    penv = {k: jnp.zeros(s, dt) for k, s in param_shapes.items()}
+    u = jnp.zeros((nU,), dt)
+    nu = jnp.zeros((nG,), dt)
+    lam = jnp.ones((nF,), dt)
+    s_ineq = jnp.ones((nF,), dt)
+    s_cost = jnp.ones((), dt)
+
+    def lagr(u, nu, lam, s_ineq, s_cost):
+        val = s_cost * fns.f(u, penv)
+        if nF > 0:
+            val = val - lam @ (s_ineq * fns.F(u, penv))
+        if nG > 0:
+            val = val + nu @ fns.G(u, penv)
+        return val
+
+    try:
+        Hfun = jax.jacfwd(jax.grad(lagr, argnums=0), argnums=0)
+        h_const = output_independent_of(Hfun, 3, u, nu, lam, s_ineq, s_cost)
+    except Exception:  # pragma: no cover - non-differentiable corner
+        h_const = False
+    fu_const = False
+    if nF > 0:
+        try:
+            fu_const = output_independent_of(
+                lambda uu: jax.jacfwd(lambda v: fns.F(v, penv))(uu), 1, u
+            )
+        except Exception:  # pragma: no cover
+            fu_const = False
+    gu_const = False
+    if nG > 0:
+        try:
+            gu_const = output_independent_of(
+                lambda uu: jax.jacfwd(lambda v: fns.G(v, penv))(uu), 1, u
+            )
+        except Exception:  # pragma: no cover
+            gu_const = False
+    return h_const, fu_const, gu_const

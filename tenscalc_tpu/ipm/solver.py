@@ -174,13 +174,21 @@ def build_ipm(
     nG: int,
     opts: SolverOptions,
     kkt_solver=None,
+    hoist=(False, False, False),
 ):
     """Build the jittable ``solve`` function for a problem instance.
 
     ``kkt_solver`` optionally overrides the dense KKT backend with a
     structured one (block-tridiagonal / arrow) exposing the same
     ``factor(WW_blocks) -> solve/derr/inertia`` contract.
+
+    ``hoist`` = (H, Fu, Gu) iteration-invariance flags from
+    :func:`tenscalc_tpu.ipm.hoist.analyze_hoistable`: flagged derivative
+    matrices are computed once per solve before the while_loop instead
+    of by AD in every iteration (the reference's reactive
+    dependency-group behavior, lib/@csparse/dependencyGroups.m).
     """
+    hoist_H, hoist_Fu, hoist_Gu = hoist
     dt = opts.np_dtype
     variant = opts.variant
     small = opts.smallerNewtonMatrix
@@ -223,18 +231,27 @@ def build_ipm(
     # ------------------------------------------------------------------
     # KKT assembly + direction (the formulation layer)
     # ------------------------------------------------------------------
-    def assemble_ww(u, nu, lam, mu, addU, addEq, penv, scale_ineq, scale_cost):
+    def assemble_ww(u, nu, lam, mu, addU, addEq, penv, scale_ineq, scale_cost,
+                    pre=None):
         """Derivatives + KKT matrix for the selected variant (no solves).
 
         Exposed for structure probing (kkt/structure.py plans the banded
-        permutation from this matrix's sparsity pattern).
+        permutation from this matrix's sparsity pattern).  ``pre`` holds
+        hoisted iteration-invariant derivative matrices (H/Fu/Gu).
         """
+        pre = pre or {}
         fs, Fs, Gs, lagr = scaled_fns(penv, scale_ineq, scale_cost)
         grad_u = jax.grad(lagr, argnums=0)(u, nu, lam)
-        H = jax.jacfwd(jax.grad(lagr, argnums=0), argnums=0)(u, nu, lam)
-        H = 0.5 * (H + H.T)  # symmetrize AD jitter
-        Fu = jax.jacfwd(Fs)(u) if nF > 0 else jnp.zeros((0, nU), dt)
-        Gu = jax.jacfwd(Gs)(u) if nG > 0 else jnp.zeros((0, nU), dt)
+        H = pre.get("H")
+        if H is None:
+            H = jax.jacfwd(jax.grad(lagr, argnums=0), argnums=0)(u, nu, lam)
+            H = 0.5 * (H + H.T)  # symmetrize AD jitter
+        Fu = pre.get("Fu")
+        if Fu is None:
+            Fu = jax.jacfwd(Fs)(u) if nF > 0 else jnp.zeros((0, nU), dt)
+        Gu = pre.get("Gu")
+        if Gu is None:
+            Gu = jax.jacfwd(Gs)(u) if nG > 0 else jnp.zeros((0, nU), dt)
         Fval = Fs(u)
         Gval = Gs(u)
         f_u = jax.grad(fs)(u)
@@ -288,8 +305,10 @@ def build_ipm(
             Fval=Fval, Gval=Gval, muF=muF, LPG=LPG,
         )
 
-    def compute_direction(u, nu, lam, mu, addU, addEq, penv, scale_ineq, scale_cost):
-        a = assemble_ww(u, nu, lam, mu, addU, addEq, penv, scale_ineq, scale_cost)
+    def compute_direction(u, nu, lam, mu, addU, addEq, penv, scale_ineq,
+                          scale_cost, pre=None):
+        a = assemble_ww(u, nu, lam, mu, addU, addEq, penv, scale_ineq,
+                        scale_cost, pre=pre)
         WW, WW11 = a["WW"], a["WW11"]
         grad_u, f_u, Fu, Gu = a["grad_u"], a["f_u"], a["Fu"], a["Gu"]
         Fval, Gval, muF, LPG = a["Fval"], a["Gval"], a["muF"], a["LPG"]
@@ -440,6 +459,19 @@ def build_ipm(
         else:
             nu0 = jnp.zeros((0,), dt)
 
+        # hoist iteration-invariant derivative matrices out of the loop
+        # (QP-like problems: constant Hessian, linear constraints)
+        pre = {}
+        if hoist_H:
+            H0 = jax.jacfwd(jax.grad(lagr, argnums=0), argnums=0)(
+                u0, nu0, lam0
+            )
+            pre["H"] = 0.5 * (H0 + H0.T)
+        if hoist_Fu and nF > 0:
+            pre["Fu"] = jax.jacfwd(Fs)(u0)
+        if hoist_Gu and nG > 0:
+            pre["Gu"] = jax.jacfwd(Gs)(u0)
+
         hist0 = jnp.full(
             (opts.maxIter if opts.profiling else 0, 8), jnp.nan, dt
         )
@@ -539,7 +571,8 @@ def build_ipm(
 
             def direction(aU, aE):
                 return compute_direction(
-                    u, nu, lam, mu, aU, aE, penv, scale_ineq, scale_cost
+                    u, nu, lam, mu, aU, aE, penv, scale_ineq, scale_cost,
+                    pre=pre,
                 )
 
             addU_next, addEq_next = addU, addEq
