@@ -52,6 +52,20 @@ from .ops.fns import (
     interpolate,
     Ginterpolate,
     Hinterpolate,
+    round,
+    ceil,
+    floor,
+    lngamma,
+    sheaviside,
+    dsheaviside,
+    compose,
+    min2,
+    max2,
+    allv,
+    anyv,
+    norm,
+    repmat,
+    permute,
 )
 from .ops.tseries import (
     tsDerivative,
@@ -107,6 +121,20 @@ __all__ = [
     "interpolate",
     "Ginterpolate",
     "Hinterpolate",
+    "round",
+    "ceil",
+    "floor",
+    "lngamma",
+    "sheaviside",
+    "dsheaviside",
+    "compose",
+    "min2",
+    "max2",
+    "allv",
+    "anyv",
+    "norm",
+    "repmat",
+    "permute",
     "tsDerivative",
     "tsDerivative2",
     "tsIntegral",

@@ -178,6 +178,110 @@ def absv(x):
     return jnp.abs(x)
 
 
+@_lifted
+def round(x):  # noqa: A001 - mirrors the reference name (Tcalculus round)
+    return jnp.round(x)
+
+
+@_lifted
+def ceil(x):
+    return jnp.ceil(x)
+
+
+@_lifted
+def floor(x):
+    return jnp.floor(x)
+
+
+@_lifted
+def lngamma(x):
+    """log(gamma(x)) with digamma gradient (reference Tcalculus.m:2105-2108)."""
+    return jax.scipy.special.gammaln(x)
+
+
+@_lifted
+def sheaviside(x):
+    """Soft heaviside 1/(1+exp(-x)) (reference Tcalculus.m:2074-2082)."""
+    return jax.nn.sigmoid(x)
+
+
+@_lifted
+def dsheaviside(x):
+    """Derivative of the soft heaviside, 1/(2+exp(x)+exp(-x))
+    (reference Tcalculus.m:2083-2091)."""
+    s = jax.nn.sigmoid(x)
+    return s * (1.0 - s)
+
+
+def compose(x, fun):
+    """Apply an elementwise jax-traceable function to every entry of ``x``
+    (reference Tcalculus compose, Tcalculus.m:2110-2180).  Unlike the
+    reference there is no need to supply derivative handles — jax
+    autodiff differentiates through ``fun``.  If ``fun`` maps a scalar to
+    a tensor, the extra axes are appended at the end, matching
+    ``y_{ijklm} = fun(x_{ijk})_{lm}``."""
+
+    def impl(_x):
+        flat = jnp.ravel(_x)
+        out = jax.vmap(fun)(flat)
+        return jnp.reshape(out, jnp.shape(_x) + out.shape[1:])
+
+    return lift(impl)(x)
+
+
+def min2(a, b):
+    """Entrywise minimum of two tensors (reference Tcalculus min(a,b),
+    Tcalculus.m:1135-1180 two-argument form)."""
+    return lift(jnp.minimum)(a, b)
+
+
+def max2(a, b):
+    """Entrywise maximum of two tensors (reference Tcalculus max(a,b))."""
+    return lift(jnp.maximum)(a, b)
+
+
+def allv(x, axis=None):
+    """1.0 where all entries (along ``axis``) are nonzero (reference
+    Tcalculus all, Tcalculus.m:1213-1224).  Smooth-free indicator —
+    constant gradients, as in the reference."""
+    return lift(lambda _x: jnp.all(_x != 0, axis=axis).astype(jnp.result_type(float)))(x)
+
+
+def anyv(x, axis=None):
+    """1.0 where any entry (along ``axis``) is nonzero (reference
+    Tcalculus any, Tcalculus.m:1226-1238)."""
+    return lift(lambda _x: jnp.any(_x != 0, axis=axis).astype(jnp.result_type(float)))(x)
+
+
+def norm(x, p=2):
+    """``norm(x, p)`` for p in {1, 2, inf} (reference Tcalculus norm,
+    Tcalculus.m:866-905).  NOTE: unlike :func:`norm2` (which follows the
+    reference's squared semantics) this is the true p-norm of vec(x)."""
+    if p == 1:
+        return norm1(x)
+    if p == 2:
+        return lift(lambda _x: jnp.sqrt(jnp.sum(_x * _x)))(x)
+    if p in (jnp.inf, np.inf, "inf"):
+        return norminf(x)
+    raise ValueError(f"norm: unsupported order {p!r}")
+
+
+def repmat(x, *reps):
+    """Tile a tensor (reference Tcalculus repmat, Tcalculus.m:719-771)."""
+    if len(reps) == 1 and isinstance(reps[0], (tuple, list)):
+        reps = tuple(reps[0])
+    return lift(lambda _x: jnp.tile(_x, reps))(x)
+
+
+def permute(x, order):
+    """Permute axes with MATLAB 1-based ``order`` (reference Tcalculus
+    permute, Tcalculus.m:1310-1345).  Also accepts 0-based orders."""
+    order = list(order)
+    if order and min(order) == 1:
+        order = [o - 1 for o in order]
+    return lift(lambda _x: jnp.transpose(_x, order))(x)
+
+
 # ---------------------------------------------------------------------------
 # fraction-to-boundary (reference: Tcalculus clp, lib/clp.m and
 # Tcalculus.m:2722 — largest alpha>=0 with x+alpha*dx>=0)

@@ -162,3 +162,57 @@ def test_interpolate_on_expr(rng):
     val = e({"itp_x": np.array([0.2])})
     w = np.exp(-((Xi - 0.2) ** 2).sum(0) / (2 * 0.25))
     np.testing.assert_allclose(val, Yi @ w / w.sum(), rtol=1e-5)
+
+
+def test_componentwise_extras(rng):
+    """round/ceil/floor/lngamma/sheaviside/dsheaviside vs numpy/scipy
+    (reference Tcalculus.m:2050-2108)."""
+    import scipy.special
+
+    x = rng.standard_normal((3, 4)) * 2
+    np.testing.assert_allclose(fns.round(x), np.round(x))
+    np.testing.assert_allclose(fns.ceil(x), np.ceil(x))
+    np.testing.assert_allclose(fns.floor(x), np.floor(x))
+    xp = np.abs(x) + 0.5
+    np.testing.assert_allclose(fns.lngamma(xp), scipy.special.gammaln(xp), rtol=1e-6)
+    np.testing.assert_allclose(fns.sheaviside(x), 1 / (1 + np.exp(-x)), rtol=1e-7)
+    np.testing.assert_allclose(
+        fns.dsheaviside(x), 1 / (2 + np.exp(x) + np.exp(-x)), rtol=1e-6, atol=1e-12
+    )
+
+
+def test_compose(rng):
+    """compose applies an elementwise fn; tensor-valued fns append axes
+    (reference Tcalculus compose, Tcalculus.m:2110-2180)."""
+    x = rng.standard_normal((2, 3))
+    y = fns.compose(x, lambda s: jnp.sin(s) + s)
+    np.testing.assert_allclose(y, np.sin(x) + x, rtol=1e-7)
+    # scalar -> vector fn: output axes appended
+    y2 = fns.compose(x, lambda s: jnp.stack([s, s * s]))
+    assert y2.shape == (2, 3, 2)
+    np.testing.assert_allclose(y2[..., 1], x * x, rtol=1e-7)
+    # lifts through Expr and differentiates
+    v = tc.variable("cmp_x", (3,))
+    e = fns.norm2(fns.compose(v, jnp.tanh))
+    import jax
+
+    g = jax.grad(lambda val: e({"cmp_x": val}))(jnp.array([0.1, -0.2, 0.4]))
+    xd = np.array([0.1, -0.2, 0.4])
+    np.testing.assert_allclose(g, 2 * np.tanh(xd) * (1 - np.tanh(xd) ** 2), rtol=1e-6)
+
+
+def test_minmax_all_any_norm_repmat_permute(rng):
+    x = rng.standard_normal((3, 4))
+    y = rng.standard_normal((3, 4))
+    np.testing.assert_allclose(fns.min2(x, y), np.minimum(x, y))
+    np.testing.assert_allclose(fns.max2(x, y), np.maximum(x, y))
+    b = (x > 0).astype(float)
+    np.testing.assert_allclose(fns.allv(b, axis=0), b.all(axis=0).astype(float))
+    np.testing.assert_allclose(fns.anyv(b, axis=1), b.any(axis=1).astype(float))
+    np.testing.assert_allclose(fns.norm(x, 1), np.abs(x).sum(), rtol=1e-12)
+    np.testing.assert_allclose(fns.norm(x, 2), np.linalg.norm(x.ravel()), rtol=1e-12)
+    np.testing.assert_allclose(fns.norm(x, np.inf), np.abs(x).max(), rtol=1e-12)
+    np.testing.assert_allclose(fns.repmat(x, 2, 3), np.tile(x, (2, 3)))
+    z = rng.standard_normal((2, 3, 4))
+    np.testing.assert_allclose(fns.permute(z, [3, 1, 2]), np.transpose(z, (2, 0, 1)))
+    np.testing.assert_allclose(fns.permute(z, [2, 0, 1]), np.transpose(z, (2, 0, 1)))
