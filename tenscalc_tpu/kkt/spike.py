@@ -85,21 +85,31 @@ def _local_tridiag_solve(Ls, Ds_lu, b):
     return xs
 
 
-def spike_solve(A, B, b, mesh: Mesh, axis: str = "stages"):
-    """Solve the symmetric block-tridiagonal system over the mesh.
+def _check_partition(nb: int, Pn: int) -> int:
+    if nb % Pn != 0 or nb // Pn < 2:
+        raise ValueError(f"nb={nb} must be a multiple of mesh size {Pn} (>=2 per chunk)")
+    return nb // Pn
+
+
+def spike_factor(A, B, mesh: Mesh, axis: str = "stages"):
+    """Factor the symmetric block-tridiagonal system over the mesh,
+    independent of any right-hand side.
 
     A: (nb, s, s) diagonal blocks; B: (nb, s, s) subdiagonal blocks
-    (B[i] couples block i to i-1; B[0] = 0); b: (nb, s) rhs.
-    nb must be divisible by the mesh size P, with nb/P >= 2.
-    Returns x: (nb, s).
+    (B[i] couples block i to i-1; B[0] = 0).  nb must be divisible by
+    the mesh size P, with nb/P >= 2.
+
+    Returns an opaque factor pytree consumed by :func:`spike_apply`.
+    The expensive parts — the interior chain factorizations, the spike
+    solves Zw/Zv (2s columns each), and the reduced interface-system
+    factorization — happen once here; each subsequent rhs costs only
+    two single-column chain sweeps plus one all_gather of O(P*s).
     """
     nb, s, _ = A.shape
     Pn = mesh.shape[axis]
-    if nb % Pn != 0 or nb // Pn < 2:
-        raise ValueError(f"nb={nb} must be a multiple of mesh size {Pn} (>=2 per chunk)")
-    m = nb // Pn
+    m = _check_partition(nb, Pn)
 
-    def local(A_c, B_c, b_c):
+    def local_factor(A_c, B_c):
         # A_c: (m, s, s) local chunk; last block is the interface.
         mi = m - 1
         Ai = A_c[:mi]                         # interior chain diagonals
@@ -108,92 +118,126 @@ def spike_solve(A, B, b, mesh: Mesh, axis: str = "stages"):
         Bi = B_c[:mi].at[0].set(jnp.zeros((s, s), A_c.dtype))
         t_diag = A_c[mi]                      # interface diagonal block
         W = B_c[mi]                           # coupling interface<-last interior
-        idx = jax.lax.axis_index(axis)
+        V = B_c[0]                            # coupling first interior<-prev interface
 
-        Ls, Ds_lu = _local_tridiag_factor(Ai, Bi)
+        Ls, (lus, pivs) = _local_tridiag_factor(Ai, Bi)
 
-        # rhs bundle: [b_interior | e_last*W' | e_first*V']
-        # V couples the *previous* interface into our first interior block:
-        # the global subdiagonal B_c[0] couples our block 0 to the previous
-        # chunk's last block (its interface).
-        V = B_c[0]
-        rhs = jnp.zeros((mi, s, 2 * s + 1), A.dtype)
-        rhs = rhs.at[:, :, 0].set(b_c[:mi])
-        rhs = rhs.at[mi - 1, :, 1 : s + 1].set(W.T)   # W' on last interior row
-        rhs = rhs.at[0, :, s + 1 :].set(V)            # V on first interior row
-        sol = _local_tridiag_solve(Ls, Ds_lu, rhs)    # (mi, s, 2s+1)
-
-        y = sol[:, :, 0]                  # interior solve of b
-        Zw = sol[:, :, 1 : s + 1]         # I^{-1} (e_last W')
-        Zv = sol[:, :, s + 1 :]           # I^{-1} (e_first V)
+        # spike columns: [e_last*W' | e_first*V]
+        rhs = jnp.zeros((mi, s, 2 * s), A_c.dtype)
+        rhs = rhs.at[mi - 1, :, :s].set(W.T)          # W' on last interior row
+        rhs = rhs.at[0, :, s:].set(V)                 # V on first interior row
+        Z = _local_tridiag_solve(Ls, (lus, pivs), rhs)  # (mi, s, 2s)
+        Zw = Z[:, :, :s]                   # I^{-1} (e_last W')
+        Zv = Z[:, :, s:]                   # I^{-1} (e_first V)
 
         # Schur contributions for interface j (ours) and the coupling to
         # interface j-1 (through our interior):
-        #   S_jj -= W I^{-1} W'           (from our interior)
-        #   S_{j,j-1} = -W I^{-1} (e_first V)  evaluated at last row? ->
-        # W acts on the last interior row; V on the first:
+        #   S_jj -= W I^{-1} W'                       (from our interior)
+        #   S_{j,j-1} = -W I^{-1} (e_first V)
         S_self = t_diag - W @ Zw[mi - 1]             # (s, s)
         S_prev = -(W @ Zv[mi - 1])                    # couples t_{j-1}
-        r_self = b_c[mi] - W @ y[mi - 1]              # reduced rhs at t_j
+        # our interior also reduces onto the PREVIOUS interface:
+        #   S_{j-1,j-1} -= V' I^{-1} V
+        S_next_corr = -(Zv[0].T @ V)
 
-        # the NEXT chunk's interior also reduces onto our interface via
-        # its (V', Zv) — computed by that chunk as its S_prev' etc.; we
-        # additionally need our interface diagonal correction from the
-        # next chunk's interior:  S_jj -= V_{j+1}' I_{j+1}^{-1} V_{j+1}
-        # and r_j -= V_{j+1}' y_{j+1,first}.  Those are next-chunk local
-        # quantities:
-        S_next_corr = -(Zv[0].T @ V)                 # V' I^{-1} V (ours -> prev interface)
-        r_next_corr = -(V.T @ y[0])                  # V' y_first  (ours -> prev interface)
-
-        return (S_self, S_prev, S_next_corr, r_self, r_next_corr,
-                y, Zw, Zv, Ls, Ds_lu, W, V, idx)
-
-    def sharded(A_all, B_all, b_all):
-        (S_self, S_prev, S_next_corr, r_self, r_next_corr,
-         y, Zw, Zv, Ls, Ds_lu, W, V, idx) = local(A_all, B_all, b_all)
-
-        # gather the reduced block-tridiagonal system (P interfaces)
+        # gather the reduced block-tridiagonal system (P interfaces) and
+        # factor it redundantly on every device
         Sd = jax.lax.all_gather(S_self, axis)         # (P, s, s)
         Sp = jax.lax.all_gather(S_prev, axis)         # (P, s, s) coupling j->j-1
-        Sc = jax.lax.all_gather(S_next_corr, axis)    # (P, s, s) corr from chunk j to iface j-1
-        rs = jax.lax.all_gather(r_self, axis)         # (P, s)
-        rc = jax.lax.all_gather(r_next_corr, axis)    # (P, s)
-
-        # assemble: diag_j = Sd[j] + Sc[j+1]; sub_j (j->j-1) = Sp[j... ]
+        Sc = jax.lax.all_gather(S_next_corr, axis)    # (P, s, s) corr chunk j -> iface j-1
         Pn_ = Sd.shape[0]
         diag = Sd.at[: Pn_ - 1].add(Sc[1:])
-        rhs_red = rs.at[: Pn_ - 1].add(rc[1:])
         sub = jnp.concatenate([jnp.zeros((1, s, s), Sd.dtype), Sp[1:]], axis=0)
+        Lr, (r_lus, r_pivs) = _local_tridiag_factor(diag, sub)
 
-        # solve the reduced chain redundantly on every device
-        Lr, Dr = _local_tridiag_factor(diag, sub)
-        t = _local_tridiag_solve(Lr, Dr, rhs_red[..., None])[..., 0]  # (P, s)
-
-        # back-substitute interior: x_I = y - Zw*t_j - Zv*t_{j-1}
-        t_self = t[idx]
-        t_prev = jnp.where(idx > 0, t[jnp.maximum(idx - 1, 0)], jnp.zeros((s,), t.dtype))
-        xI = y - Zw @ t_self - Zv @ t_prev
-        x_local = jnp.concatenate([xI, t_self[None]], axis=0)  # (m, s)
-        return x_local
+        return (Ls, lus, pivs, Zw, Zv, W[None], V[None],
+                Lr, r_lus, r_pivs)
 
     from jax import shard_map
 
+    sharded = P(axis)
+    repl = P()
     return shard_map(
-        sharded,
+        local_factor,
         mesh=mesh,
-        in_specs=(P(axis), P(axis), P(axis)),
-        out_specs=P(axis),
+        in_specs=(sharded, sharded),
+        out_specs=(sharded, sharded, sharded, sharded, sharded, sharded,
+                   sharded, repl, repl, repl),
         check_vma=False,
-    )(A, B, b)
+    )(A, B)
+
+
+def spike_apply(factor, b, mesh: Mesh, axis: str = "stages"):
+    """Solve for one rhs b: (nb, s) using a cached :func:`spike_factor`."""
+    Ls, lus, pivs, Zw, Zv, W, V, Lr, r_lus, r_pivs = factor
+    s = Ls.shape[-1]
+
+    def local_apply(Ls_c, lus_c, pivs_c, Zw_c, Zv_c, W_c, V_c,
+                    Lr_r, r_lus_r, r_pivs_r, b_c):
+        mi = Ls_c.shape[0]
+        W_ = W_c[0]
+        V_ = V_c[0]
+        idx = jax.lax.axis_index(axis)
+
+        # interior solve of b (single column)
+        y = _local_tridiag_solve(Ls_c, (lus_c, pivs_c), b_c[:mi, :, None])[..., 0]
+
+        # reduced rhs at our interface and the correction we owe the
+        # previous interface
+        r_self = b_c[mi] - W_ @ y[mi - 1]
+        r_next_corr = -(V_.T @ y[0])
+        rs = jax.lax.all_gather(r_self, axis)         # (P, s)
+        rc = jax.lax.all_gather(r_next_corr, axis)    # (P, s)
+        Pn_ = rs.shape[0]
+        rhs_red = rs.at[: Pn_ - 1].add(rc[1:])
+
+        # reduced interface solve with the cached factor (redundant on
+        # every device)
+        t = _local_tridiag_solve(Lr_r, (r_lus_r, r_pivs_r),
+                                 rhs_red[..., None])[..., 0]  # (P, s)
+
+        # back-substitute interior: x_I = y - Zw*t_j - Zv*t_{j-1}
+        t_self = t[idx]
+        t_prev = jnp.where(idx > 0, t[jnp.maximum(idx - 1, 0)],
+                           jnp.zeros((s,), t.dtype))
+        xI = y - Zw_c @ t_self - Zv_c @ t_prev
+        return jnp.concatenate([xI, t_self[None]], axis=0)  # (m, s)
+
+    from jax import shard_map
+
+    sharded = P(axis)
+    repl = P()
+    return shard_map(
+        local_apply,
+        mesh=mesh,
+        in_specs=(sharded, sharded, sharded, sharded, sharded, sharded,
+                  sharded, repl, repl, repl, sharded),
+        out_specs=sharded,
+        check_vma=False,
+    )(Ls, lus, pivs, Zw, Zv, W, V, Lr, r_lus, r_pivs, b)
+
+
+def spike_solve(A, B, b, mesh: Mesh, axis: str = "stages"):
+    """Solve the symmetric block-tridiagonal system over the mesh
+    (factor + one apply; for repeated rhs use :func:`spike_factor` +
+    :func:`spike_apply` so the factorization is reused).
+
+    A: (nb, s, s) diagonal blocks; B: (nb, s, s) subdiagonal blocks
+    (B[i] couples block i to i-1; B[0] = 0); b: (nb, s) rhs.
+    Returns x: (nb, s).
+    """
+    factor = spike_factor(A, B, mesh, axis=axis)
+    return spike_apply(factor, b, mesh, axis=axis)
 
 
 class SpikeFactorization:
     """KKT-backend adapter: mesh-distributed banded solve with f64
     iterative refinement against the dense matrix.
 
-    v1 re-runs the distributed elimination per solve (the IPM issues
-    1-2 rhs + refinements per iteration); caching the factor across
-    rhs is a planned optimization.
+    The distributed elimination (:func:`spike_factor`) runs once per
+    KKT matrix; every rhs and every refinement sweep reuses the cached
+    factor through :func:`spike_apply` (single-column chain sweeps +
+    one O(P*s) all_gather each).
     """
 
     def __init__(self, WW, plan, mesh: Mesh, axis: str = "stages",
@@ -222,6 +266,7 @@ class SpikeFactorization:
             )
         self.A, self.B = A, B
         self.nb2 = nb2
+        self.factor = spike_factor(A, B, mesh, axis=axis)
 
     def _solve32(self, rhs):
         plan = self.plan
@@ -231,7 +276,7 @@ class SpikeFactorization:
         iperm = jnp.asarray(plan.iperm)
         bp = rhs[perm].astype(jnp.float32)
         bp = jnp.concatenate([bp, jnp.zeros((npad - n,), jnp.float32)])
-        x = spike_solve(self.A, self.B, bp.reshape(self.nb2, s), self.mesh,
+        x = spike_apply(self.factor, bp.reshape(self.nb2, s), self.mesh,
                         axis=self.axis)
         return x.reshape(npad)[:n][iperm]
 

@@ -119,3 +119,58 @@ def test_spike_backend_in_ipm():
     # solver tolerance, not bitwise-identical iterates
     np.testing.assert_allclose(s1.outputs["u"], s2.outputs["u"], atol=2e-3)
     np.testing.assert_allclose(s1.objective, s2.objective, atol=1e-6)
+
+
+def test_spike_factor_apply_reuse(rng, mesh):
+    """A cached spike_factor serves many rhs and matches the dense
+    oracle for each (the IPM's repeated-rhs pattern)."""
+    from tenscalc_tpu.kkt.spike import spike_apply, spike_factor
+
+    nb, s = 16, 4
+    A = _block_tridiag_dense(rng, nb, s)
+    Ab, Bb = dense_to_blocks(jnp.asarray(A), s)
+    fac = spike_factor(Ab, Bb, mesh)
+    for _ in range(3):
+        b = rng.standard_normal(nb * s)
+        x = spike_apply(fac, jnp.asarray(b).reshape(nb, s), mesh)
+        np.testing.assert_allclose(
+            np.asarray(x).reshape(-1), np.linalg.solve(A, b), rtol=2e-6, atol=1e-8
+        )
+
+
+def test_ipm_spike_backend_end_to_end(rng, mesh):
+    """kkt_backend='spike' through the public API: an MPC-style QP whose
+    KKT matrix is block-banded in the horizon, solved with the
+    mesh-distributed cached factorization, matches the dense backend."""
+    import tenscalc_tpu as tc
+
+    T, n = 40, 2
+    tc.expr.clear_variables()
+    x = tc.variable("sx", (T, n))
+    u = tc.variable("su", (T,))
+    x0 = tc.parameter("sx0", (n,))
+    A = np.array([[0.95, 0.1], [0.0, 0.9]])
+    Bm = np.array([0.0, 1.0])
+    dyn = x[1:] - (x[:-1] @ A.T + u[:-1, None] * Bm)
+    J = tc.norm2(x) + 0.1 * tc.norm2(u)
+    common = dict(
+        constraints=[dyn == 0, x[0] == x0, u >= -1.0, u <= 1.0],
+        parameters=[x0],
+    )
+    x0v = np.array([1.0, -0.5])
+    init = {"sx": np.zeros((T, n)), "su": np.zeros(T)}
+
+    sol_d = tc.optimize(J, [x, u], **common, kkt_backend="dense").solve(
+        parameters={"sx0": x0v}, init=init
+    )
+    sol_s = tc.optimize(
+        J, [x, u], **common, kkt_backend="spike", kkt_mesh=mesh
+    ).solve(parameters={"sx0": x0v}, init=init)
+    assert int(sol_d.status) == 0 and int(sol_s.status) == 0
+    np.testing.assert_allclose(
+        float(sol_s.objective), float(sol_d.objective), rtol=1e-8
+    )
+    np.testing.assert_allclose(
+        np.asarray(sol_s.variables["su"]), np.asarray(sol_d.variables["su"]),
+        atol=1e-6,
+    )
