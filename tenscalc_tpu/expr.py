@@ -140,6 +140,13 @@ class Expr:
     def __getitem__(self, idx):
         return unary_op(lambda x: x[idx], self)
 
+    @property
+    def at(self):
+        """Indexed assignment, the analog of the reference's subsasgn
+        (lib/@Tcalculus/Tcalculus.m:590-667 ``x(I)=y``) in jax's
+        functional ``x.at[I].set(y)`` / ``.add(y)`` idiom."""
+        return _AtHelper(self)
+
     def reshape(self, *shape):
         if len(shape) == 1 and isinstance(shape[0], (tuple, list)):
             shape = tuple(shape[0])
@@ -200,6 +207,34 @@ class Expr:
 
     def __hash__(self):
         return id(self)
+
+
+class _AtHelper:
+    """``expr.at[idx]`` accessor (see :attr:`Expr.at`)."""
+
+    def __init__(self, expr: "Expr"):
+        self._expr = expr
+
+    def __getitem__(self, idx):
+        return _AtIndexed(self._expr, idx)
+
+
+class _AtIndexed:
+    def __init__(self, expr: "Expr", idx):
+        self._expr = expr
+        self._idx = idx
+
+    def set(self, value):
+        idx = self._idx
+        return binary_op(lambda x, v: x.at[idx].set(v), self._expr, value)
+
+    def add(self, value):
+        idx = self._idx
+        return binary_op(lambda x, v: x.at[idx].add(v), self._expr, value)
+
+    def multiply(self, value):
+        idx = self._idx
+        return binary_op(lambda x, v: x.at[idx].multiply(v), self._expr, value)
 
 
 class Variable(Expr):

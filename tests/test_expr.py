@@ -108,3 +108,36 @@ def test_zeros_ones_eye():
     assert tc.Tzeros((2, 3))({}).shape == (2, 3)
     np.testing.assert_allclose(tc.Tones(4)({}), np.ones(4))
     np.testing.assert_allclose(tc.Teye(3)({}), np.eye(3))
+
+
+def test_at_indexed_assignment(rng):
+    """Expr.at[...] — the subsasgn analog (reference Tcalculus.m:590-667)
+    — composes and differentiates through the solver-facing surface."""
+    import jax
+
+    tc.expr.clear_variables()
+    x = tc.variable("at_x", (4,))
+    v = rng.standard_normal(4)
+    e = x.at[1].set(0.0)
+    out = np.asarray(e({"at_x": v}))
+    exp = v.copy()
+    exp[1] = 0.0
+    np.testing.assert_allclose(out, exp)
+    e2 = x.at[:2].add(x[2:] * 3.0)
+    out2 = np.asarray(e2({"at_x": v}))
+    exp2 = v.copy()
+    exp2[:2] += 3.0 * v[2:]
+    np.testing.assert_allclose(out2, exp2, rtol=1e-12)
+    # gradient flows through both the base and the inserted value
+    g = jax.grad(lambda val: float(0) + (x.at[0].set(x[3] * 2.0) ** 2).sum()({"at_x": val}))(v)
+    exp_g = 2 * exp_g_base(v)
+    np.testing.assert_allclose(g, exp_g, rtol=1e-10)
+
+
+def exp_g_base(v):
+    w = v.copy()
+    w[0] = 2 * v[3]
+    g = w.copy()
+    g[0] = 0.0
+    g[3] = v[3] * 4 + g[3]
+    return g
