@@ -197,14 +197,15 @@ class KKTFactorization:
     """'lu' (native dtype), 'lu_ir' (f32 factor + f64 iterative
     refinement — TPU's LuDecomposition only implements F32), or 'ldl'."""
 
-    __slots__ = ("kind", "a", "b", "WW", "n_refine")
+    __slots__ = ("kind", "a", "b", "WW", "n_refine", "bk")
 
-    def __init__(self, kind, a, b, WW=None, n_refine=0):
+    def __init__(self, kind, a, b, WW=None, n_refine=0, bk=None):
         self.kind = kind
         self.a = a
         self.b = b
         self.WW = WW
         self.n_refine = n_refine
+        self.bk = bk  # precomputed (mp, mn) from Bunch-Kaufman
 
     def solve(self, rhs: jax.Array) -> jax.Array:
         if self.kind == "lu":
@@ -241,6 +242,10 @@ class KKTFactorization:
         return ldl_solve(self.a, self.b, rhs)
 
     def inertia(self, tol: float = 0.0):
+        if self.bk is not None:
+            mp, mn = self.bk
+            dt = jnp.result_type(self.WW if self.WW is not None else self.a)
+            return mp.astype(dt), mn.astype(dt)
         if self.kind in ("ldl", "ldl_ir"):
             return ldl_inertia(self.b, tol)
         z = jnp.zeros((), jnp.result_type(self.a))
@@ -280,14 +285,27 @@ def kkt_factorize(
         L, d = ldl_factor(WW, block=block)
         return KKTFactorization("ldl", L, d)
     if need_inertia:
-        # inertia requires LDL.  Factor in the matrix dtype: unpivoted
-        # LDL in f32 collapses on ill-conditioned IPM endgame KKTs
-        # (verified on TPU: the f32 Pallas/ldl paths stall the solver),
-        # while f64 has enough headroom against the pivot growth.  On
-        # TPU this means emulated f64 — slow but correct; a pivoted
-        # (Bunch-Kaufman) kernel is the planned fast path.
-        L, d = ldl_factor(WW, block=block)
-        return KKTFactorization("ldl", L, d)
+        if WW.dtype == jnp.float64 and not _lu_needs_f32():
+            # CPU/GPU f64: unpivoted LDL gives solve + inertia in one
+            # factorization with enough headroom against pivot growth.
+            L, d = ldl_factor(WW, block=block)
+            return KKTFactorization("ldl", L, d)
+        # TPU fast inertia path: unpivoted LDL in f32 collapses on
+        # ill-conditioned IPM endgame KKTs (pivot collapse, verified on
+        # hardware) and f64 LDL is emulated and slow.  Instead solve
+        # with XLA's pivoted f32 LU + refinement (robust, MXU-fast) and
+        # take the inertia from a Bunch-Kaufman pivoted elimination,
+        # which bounds element growth so the sign counts are exact in
+        # f32 (kkt/bunchkaufman.py).
+        from .bunchkaufman import bk_inertia
+
+        W32 = WW.astype(jnp.float32)
+        lu, piv = jax.scipy.linalg.lu_factor(W32)
+        fac = KKTFactorization(
+            "lu_ir", lu, piv, WW=WW, n_refine=n_refine,
+            bk=bk_inertia(W32),
+        )
+        return fac
     if WW.dtype == jnp.float64 and _lu_needs_f32():
         lu, piv = jax.scipy.linalg.lu_factor(WW.astype(jnp.float32))
         return KKTFactorization("lu_ir", lu, piv, WW=WW, n_refine=n_refine)
