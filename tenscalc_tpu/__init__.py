@@ -33,6 +33,9 @@ from .expr import (
     Teye,
     to_expr,
     Constraint,
+    gradient,
+    jacobian,
+    hessian,
 )
 from .ops.fns import (
     norm1,
@@ -104,6 +107,9 @@ __all__ = [
     "Teye",
     "to_expr",
     "Constraint",
+    "gradient",
+    "jacobian",
+    "hessian",
     "norm1",
     "norm2",
     "norminf",
@@ -121,7 +127,9 @@ __all__ = [
     "interpolate",
     "Ginterpolate",
     "Hinterpolate",
-    "round",
+    # NOTE: tc.round stays importable as an attribute but is kept out of
+    # __all__ so `from tenscalc_tpu import *` does not shadow the Python
+    # builtin (same reason all/any are exported as allv/anyv)
     "ceil",
     "floor",
     "lngamma",

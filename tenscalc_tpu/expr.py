@@ -440,6 +440,50 @@ def substitute(expr: Expr, old: Union[Variable, Sequence[Variable]], new) -> Exp
     return Expr(fn, expr.shape, deps)
 
 
+def gradient(f, x: "Variable") -> Expr:
+    """Partial derivatives of ``f`` w.r.t. the variable ``x``.
+
+    Matches the reference's user-facing symbolic gradient
+    (lib/@Tcalculus/gradient.m:1-16): when ``f`` has shape
+    ``[n1,...,nN]`` and ``x`` shape ``[m1,...,mM]`` the result has shape
+    ``[n1,...,nN,m1,...,mM]`` with
+    ``g[i..., j...] = d f[i...] / d x[j...]``.
+
+    Differentiation is delegated to JAX (reverse mode when ``f`` is
+    smaller than ``x`` — e.g. scalar losses — else forward mode); the
+    reference instead applies hand-written chain rules over its symbolic
+    DAG.
+    """
+    f = to_expr(f)
+    if not isinstance(x, Variable):
+        raise TypeError("gradient: second argument must be a Variable")
+    deps = f.deps | {x.name}
+    mode = jax.jacrev if f.size <= x.size else jax.jacfwd
+
+    def fn(env, _f=f, _n=x.name, _mode=mode):
+        def g(xv):
+            env2 = dict(env)
+            env2[_n] = xv
+            return _f(env2)
+
+        return _mode(g)(jnp.asarray(env[_n]))
+
+    return Expr(fn, f.shape + x.shape, deps, "gradient")
+
+
+def jacobian(f, x: "Variable") -> Expr:
+    """Alias of :func:`gradient` (the reference uses ``gradient`` for
+    tensor-valued ``f`` too)."""
+    return gradient(f, x)
+
+
+def hessian(f, x: "Variable", y: "Variable" = None) -> Expr:
+    """Second derivatives: ``hessian(f, x[, y]) = gradient(gradient(f, x),
+    y or x)`` with shape ``f.shape + x.shape + y.shape`` (reference:
+    lib/@Tcalculus/Tcalculus.m:3049-3101)."""
+    return gradient(gradient(f, x), x if y is None else y)
+
+
 class Constraint:
     """A parsed constraint: ``expr >= 0`` (ineq) or ``expr == 0`` (eq).
 

@@ -87,9 +87,13 @@ def bk_inertia(A: jax.Array, tol: float = 0.0) -> tuple[jax.Array, jax.Array]:
 
         def pivot2(args):
             # swap k+1 <-> r, then eliminate the 2x2 block at (k, k+1)
+            # (k+1 is clamped: under vmap lax.cond lowers to a select
+            # that executes this branch even when discarded with k=n-1,
+            # and the swap must stay in bounds rather than rely on JAX's
+            # OOB-drop semantics)
             M, mp, mn = args
-            M = _swap_sym(M, k + 1, r)
             kk = jnp.minimum(k + 1, n - 1)
+            M = _swap_sym(M, kk, r)
             a = M[k, k]
             b = M[kk, k]
             c = M[kk, kk]

@@ -243,6 +243,15 @@ class KKTFactorization:
 
     def inertia(self, tol: float = 0.0):
         if self.bk is not None:
+            if tol != 0.0:
+                # bk counts were baked at factor time with tol=0.0
+                # (kkt_factorize); honoring a different tol here would
+                # silently return wrong counts
+                raise ValueError(
+                    "inertia(tol != 0) unsupported on the Bunch-Kaufman "
+                    "path: counts are precomputed at factor time with "
+                    "tol=0.0"
+                )
             mp, mn = self.bk
             dt = jnp.result_type(self.WW if self.WW is not None else self.a)
             return mp.astype(dt), mn.astype(dt)

@@ -186,8 +186,12 @@ def spike_apply(factor, b, mesh: Mesh, axis: str = "stages"):
         # previous interface
         r_self = b_c[mi] - W_ @ y[mi - 1]
         r_next_corr = -(V_.T @ y[0])
-        rs = jax.lax.all_gather(r_self, axis)         # (P, s)
-        rc = jax.lax.all_gather(r_next_corr, axis)    # (P, s)
+        # one all_gather of the concatenated (2s,) payload — half the
+        # per-rhs ICI latency of gathering the two pieces separately
+        both = jax.lax.all_gather(
+            jnp.concatenate([r_self, r_next_corr]), axis
+        )                                             # (P, 2s)
+        rs, rc = both[:, :s], both[:, s:]
         Pn_ = rs.shape[0]
         rhs_red = rs.at[: Pn_ - 1].add(rc[1:])
 

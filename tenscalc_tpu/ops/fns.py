@@ -256,7 +256,12 @@ def anyv(x, axis=None):
 def norm(x, p=2):
     """``norm(x, p)`` for p in {1, 2, inf} (reference Tcalculus norm,
     Tcalculus.m:866-905).  NOTE: unlike :func:`norm2` (which follows the
-    reference's squared semantics) this is the true p-norm of vec(x)."""
+    reference's squared semantics) this is the true p-norm of vec(x).
+
+    WARNING: the p=2 norm (like p=1 and inf) is not differentiable at
+    x = 0 — its gradient is NaN there, which poisons an IPM whose
+    iterates cross zero.  For smooth objectives use :func:`norm2`
+    (the squared norm), as the reference's examples do."""
     if p == 1:
         return norm1(x)
     if p == 2:
