@@ -202,7 +202,9 @@ class OptimizeSolver:
                     WW, n_refine=self.opts.kkt_refine
                 ),
             )
-        elif self.opts.kkt_backend in ("auto", "tridiag", "cyclic", "spike"):
+        elif self.opts.kkt_backend in (
+            "auto", "tridiag", "cyclic", "spike", "fleet_banded",
+        ):
             self._plan_structure()
         self._solve_jit = jax.jit(self._solve_raw)
 
@@ -218,6 +220,8 @@ class OptimizeSolver:
         dt = self.opts.np_dtype
         nK = self.nU + self.nG + (0 if self.opts.smallerNewtonMatrix else self.nF)
         if nK < 64:  # too small for a structured path to matter
+            if self.opts.kkt_backend == "fleet_banded":
+                self._use_fleet_dense()
             return
 
         def assemble(trial: int):
@@ -250,8 +254,27 @@ class OptimizeSolver:
         except Exception:
             if self.opts.kkt_backend == "tridiag":
                 raise
+            if self.opts.kkt_backend == "fleet_banded":
+                self._use_fleet_dense()
             return  # structure probing is best-effort under 'auto'
         plan = plan_banded(pattern)
+        if self.opts.kkt_backend == "fleet_banded":
+            # batch-in-lanes banded Pallas LDL over the RCM band
+            # (kkt/fleet_banded.py); dense fleet when no band structure
+            if not plan.worthwhile:
+                self._use_fleet_dense()
+                return
+            from .kkt.fleet_banded import fleet_banded_kkt_factorize
+
+            self.kkt_plan = plan
+            self._solve_raw = build_ipm(
+                self._fns, self.nU, self.nF, self.nG, self.opts,
+                hoist=self._hoist,
+                kkt_solver=lambda WW: fleet_banded_kkt_factorize(
+                    WW, plan, n_refine=self.opts.kkt_refine
+                ),
+            )
+            return
         if (
             not plan.worthwhile
             and self.opts.kkt_backend == "auto"
@@ -302,6 +325,19 @@ class OptimizeSolver:
             self._fns, self.nU, self.nF, self.nG, self.opts,
             hoist=self._hoist,
             kkt_solver=kkt_solver,
+        )
+
+    def _use_fleet_dense(self) -> None:
+        """Fallback for 'fleet_banded' problems without band structure:
+        the dense batch-in-lanes fleet kernel (kkt/fleet.py)."""
+        from .kkt.fleet import fleet_kkt_factorize
+
+        self._solve_raw = build_ipm(
+            self._fns, self.nU, self.nF, self.nG, self.opts,
+            hoist=self._hoist,
+            kkt_solver=lambda WW: fleet_kkt_factorize(
+                WW, n_refine=self.opts.kkt_refine
+            ),
         )
 
     # -- parameter/init handling --------------------------------------
@@ -373,15 +409,70 @@ class OptimizeSolver:
         )
 
     def solve_result(self, parameters=None, init=None, mu0=1.0,
-                     max_iter=None, addEye2Hessian=(1e-9, 1e-9)) -> IPMResult:
+                     max_iter=None, addEye2Hessian=(1e-9, 1e-9),
+                     save_iter=-1) -> IPMResult:
         """Raw jitted solve returning device arrays (no host sync) —
         building block for batched/sharded solving."""
         penv = self._param_env(parameters)
         u0 = self._pack_init(init)
         return self._solve_jit(
             u0, penv, mu0, self.opts.maxIter if max_iter is None else max_iter,
-            addEye2Hessian[0], addEye2Hessian[1],
+            addEye2Hessian[0], addEye2Hessian[1], save_iter,
         )
+
+    def capture_ww(self, parameters, init=None, it: Optional[int] = None,
+                   mu0: float = 1.0, max_iter: Optional[int] = None,
+                   addEye2Hessian=(1e-9, 1e-9)) -> Dict[str, Any]:
+        """Capture the KKT matrix at a chosen iterate of an actual solve
+        — the analog of the reference's allowSave/saveIter dump
+        (saveWW__, lib/ipmPD_CS.m:511-515; driver arg saveIter,
+        lib/ipmPD_CSsolver.c:132-141).
+
+        Requires ``allowSave=True``.  With ``it=None`` (needs
+        ``profiling=True``) the iterate with the WORST direction error
+        is selected automatically — i.e. where the solver actually
+        struggled.  Returns the assembled system plus the structural
+        report of :func:`tenscalc_tpu.diagnostics.analyze_assembled`.
+        """
+        if not self.opts.allowSave:
+            raise ValueError("capture_ww requires SolverOptions(allowSave=True)")
+        penv = self._param_env(parameters)
+        u0 = self._pack_init(init)
+        mi = self.opts.maxIter if max_iter is None else max_iter
+        if it is None:
+            if not self.opts.profiling:
+                raise ValueError(
+                    "capture_ww(it=None) selects the worst-direction-error "
+                    "iterate from the profiling history; set profiling=True "
+                    "or pass an explicit iteration"
+                )
+            res0 = self._solve_jit(
+                u0, penv, mu0, mi, addEye2Hessian[0], addEye2Hessian[1]
+            )
+            hist = np.asarray(res0.history)[: max(int(res0.iters) - 1, 0)]
+            if hist.size == 0:
+                raise ValueError("solve recorded no iterations")
+            it = int(np.nanargmax(np.nan_to_num(hist[:, 7], nan=-1.0))) + 1
+        res = self._solve_jit(
+            u0, penv, mu0, mi, addEye2Hessian[0], addEye2Hessian[1], int(it)
+        )
+        u, nu, lam, mu, addU, addEq = res.saved
+        a = self._solve_raw._assemble_ww(
+            u, nu, lam, mu, addU, addEq, penv,
+            res.scale_ineq, res.scale_cost,
+        )
+        from .diagnostics import analyze_assembled
+
+        return {
+            "it": int(it),
+            "WW": np.asarray(a["WW"]),
+            "state": {
+                "u": np.asarray(u), "nu": np.asarray(nu),
+                "lam": np.asarray(lam), "mu": float(mu),
+                "addU": float(addU), "addEq": float(addEq),
+            },
+            "report": analyze_assembled(self, a),
+        }
 
     def _make_solution(self, res: IPMResult, penv, elapsed: float) -> Solution:
         var_env = self.packing.unpack(res.u)

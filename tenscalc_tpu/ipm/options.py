@@ -82,6 +82,13 @@ class SolverOptions:
     # -- diagnostics ---------------------------------------------------
     verboseLevel: int = 0
     profiling: bool = False
+    # allowSave (reference: lib/private/parameters4all.m allowSave +
+    # saveIter runtime arg, lib/ipmPD_CS.m:511-515 saveWW__): when True
+    # the solve carries a snapshot of (u, nu, lam, mu, addU, addEq)
+    # captured at the runtime-selected iteration, from which the KKT
+    # matrix at that iterate can be rebuilt post-mortem
+    # (OptimizeSolver.capture_ww)
+    allowSave: bool = False
 
     def __post_init__(self):
         if self.delta not in (2, 3):
@@ -99,8 +106,14 @@ class SolverOptions:
                 raise ValueError("variant='timesLambda' requires skipAffine=True")
             if not self.useLDL:
                 raise ValueError("variant='timesLambda' requires useLDL=True")
-        if self.kkt_backend not in ("dense", "ldl", "tridiag", "cyclic", "auto", "spike", "pallas", "fleet"):
-            raise ValueError("kkt_backend must be dense|ldl|tridiag|cyclic|auto|spike|pallas|fleet")
+        if self.kkt_backend not in (
+            "dense", "ldl", "tridiag", "cyclic", "auto", "spike", "pallas",
+            "fleet", "fleet_banded",
+        ):
+            raise ValueError(
+                "kkt_backend must be dense|ldl|tridiag|cyclic|auto|spike|"
+                "pallas|fleet|fleet_banded"
+            )
 
     @property
     def np_dtype(self):

@@ -71,7 +71,7 @@ def _ldl_block(M: jax.Array, clamp: float = 0.0) -> tuple[jax.Array, jax.Array]:
         L, d, M = carry
         dj = M[j, j]
         if clamp > 0.0:
-            s = jnp.where(dj >= 0, 1.0, -1.0)
+            s = jnp.where(dj >= 0, jnp.ones_like(dj), -jnp.ones_like(dj))
             dj = s * jnp.maximum(jnp.abs(dj), clamp)
         col = jnp.where(idx > j, M[:, j] / dj, 0.0)
         L = L.at[:, j].set(col)

@@ -76,7 +76,7 @@ def _fleet_factor_kernel(n: int, tile: int, clamp: float,
     Every op below is a full (n, n, TILE) or (n, TILE) VPU op — nothing
     is per-instance.
     """
-    i = pl.program_id(0)
+    i = jnp.int32(pl.program_id(0))
     cp_in = pltpu.make_async_copy(A_hbm.at[:, :, pl.ds(i * tile, tile)], M, sem)
     cp_in.start()
     cp_in.wait()
@@ -91,7 +91,7 @@ def _fleet_factor_kernel(n: int, tile: int, clamp: float,
         mask_j = ridx == j
         dj = jnp.sum(jnp.where(mask_j, row, 0.0), axis=0, keepdims=True)  # (1, TILE)
         if clamp > 0.0:
-            s = jnp.where(dj >= 0.0, 1.0, -1.0)
+            s = jnp.where(dj >= 0.0, jnp.ones_like(dj), -jnp.ones_like(dj))
             dj = s * jnp.maximum(jnp.abs(dj), clamp)
         below = ridx > j
         r = jnp.where(below, row / dj, 0.0)       # (n, TILE): L[:, j]
@@ -101,9 +101,9 @@ def _fleet_factor_kernel(n: int, tile: int, clamp: float,
         # trailing rank-1 update, full-width masked:
         #   M[i, k] -= dj * r[i] * r[k]   (only i, k > j contribute)
         M[:, :, :] = M[:, :, :] - (dj * r)[:, None, :] * r[None, :, :]
-        return 0
+        return jnp.int32(0)
 
-    lax.fori_loop(0, n, step, 0, unroll=False)
+    lax.fori_loop(jnp.int32(0), jnp.int32(n), step, jnp.int32(0), unroll=False)
     cp_L = pltpu.make_async_copy(M, L_hbm.at[:, :, pl.ds(i * tile, tile)], sem)
     cp_L.start()
     cp_L.wait()
@@ -120,7 +120,7 @@ def _fleet_solve_kernel(n: int, tile: int, L_hbm, d_hbm, b_hbm, x_hbm,
     holds L[:, j] (zero above j; the pivot copy at [j, j] is masked off
     here).
     """
-    i = pl.program_id(0)
+    i = jnp.int32(pl.program_id(0))
     cp_L = pltpu.make_async_copy(L_hbm.at[:, :, pl.ds(i * tile, tile)], Lv, sem)
     cp_L.start()
     cp_L.wait()
@@ -138,9 +138,9 @@ def _fleet_solve_kernel(n: int, tile: int, L_hbm, d_hbm, b_hbm, x_hbm,
         yj = jnp.sum(jnp.where(mask_j, xv[:, :], 0.0), axis=0, keepdims=True)
         col = jnp.where(ridx > j, Lv[j, :, :], 0.0)      # L[:, j]
         xv[:, :] = xv[:, :] - yj * col
-        return 0
+        return jnp.int32(0)
 
-    lax.fori_loop(0, n, fwd, 0, unroll=False)
+    lax.fori_loop(jnp.int32(0), jnp.int32(n), fwd, jnp.int32(0), unroll=False)
     xv[:, :] = xv[:, :] / dv[:, :]
 
     # backward: L^T x = y, left-looking gather per row
@@ -150,9 +150,9 @@ def _fleet_solve_kernel(n: int, tile: int, L_hbm, d_hbm, b_hbm, x_hbm,
         acc = jnp.sum(col * xv[:, :], axis=0, keepdims=True)  # (1, TILE)
         mask_j = ridx == j
         xv[:, :] = jnp.where(mask_j, xv[:, :] - acc, xv[:, :])
-        return 0
+        return jnp.int32(0)
 
-    lax.fori_loop(0, n, bwd, 0, unroll=False)
+    lax.fori_loop(jnp.int32(0), jnp.int32(n), bwd, jnp.int32(0), unroll=False)
     cp_x = pltpu.make_async_copy(xv, x_hbm.at[:, pl.ds(i * tile, tile)], sem)
     cp_x.start()
     cp_x.wait()

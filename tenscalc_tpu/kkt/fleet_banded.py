@@ -1,0 +1,387 @@
+"""Fleet *banded* LDL^T: batched band factorization with the batch in
+the lane axis — the TPU answer to the reference's fill-reducing-ordered
+sparse symbolic LDL (lib/@csparse/sparsity_ldl.m:40-62 orders with
+symamd so the unrolled factorization stays O(n) for banded KKTs).
+
+MPC-style KKT matrices are block-banded in the horizon index; after the
+RCM permutation from :mod:`tenscalc_tpu.kkt.structure` the condensed
+(smallerNewtonMatrix) system of e.g. mpc_dcmotor has half-bandwidth 4 at
+n = 149.  A banded unpivoted LDL^T costs n*w^2 multiply-adds instead of
+n^3/3 — a ~2000x flop reduction — and, stored as a band, the entire
+batched working set is a tiny (n, w+1, TILE) VMEM slab.
+
+Layout and Mosaic constraints (same playbook as kkt/fleet.py):
+
+* the BATCH lives in the 128-wide lane axis (TILE instances per kernel
+  program, grid walks the batch);
+* the band is stored LOWER: ``band[c, i, :] = M[c+i, c, :]`` for
+  i = 0..w (symmetric matrix, so this is all of it);
+* every elimination step reads one band row (dynamic *outer*-axis index
+  — legal), updates the w following rows with static sublane slices, and
+  never indexes lanes dynamically.
+
+Robustness contract matches kkt/fleet.py: no pivoting; Cheng-Higham
+pivot clamping + Jacobi equilibration (applied by the adapter below) +
+iterative refinement against the true matrix, with the IPM's
+addEye2Hessian adaptation as the outer safety net
+(lib/ipmPD_CSsolver.c:393-548).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .structure import BandedPlan
+
+TILE = 128  # lane width
+
+
+def _pad_rows(n: int, w: int) -> int:
+    """Rows padded so every 8-row block's (8 + wpad)-row working window
+    stays in bounds and sublanes align."""
+    return -(-(n + w) // 8) * 8 + _win(w)
+
+
+def _pad_w(w: int) -> int:
+    """Band storage width padded to the f32 sublane multiple (8)."""
+    return -(-(w + 1) // 8) * 8
+
+
+def _win(w: int) -> int:
+    """Working-window rows per block: 8 own rows + room for the w-deep
+    trailing updates, rounded to the sublane multiple."""
+    return 8 + _pad_w(w)
+
+
+# ---------------------------------------------------------------------------
+# kernels: band (npad, wpad, TILE), vectors (npad, TILE)
+#
+# The elimination walks 8-row blocks with a lax.fori_loop (dynamic but
+# 8-ALIGNED ref offsets) and statically unrolls the 8 steps inside a
+# block on a value-level working window — the combination keeps the
+# traced program small (O(8) ops per block) while every VMEM load/store
+# is tile-aligned.
+# ---------------------------------------------------------------------------
+
+def _factor_kernel(nb8: int, npad: int, w: int, wpad: int, tile: int,
+                   clamp: float, band_hbm, out_hbm, Bv, sem):
+    """In-place banded LDL of TILE instances.
+
+    After step c, band row c holds [d_c, L[c+1,c], ..., L[c+w,c], 0...].
+    """
+    i = jnp.int32(pl.program_id(0))
+    cp_in = pltpu.make_async_copy(
+        band_hbm.at[:, :, pl.ds(i * tile, tile)], Bv, sem
+    )
+    cp_in.start()
+    cp_in.wait()
+    win = _win(w)
+
+    def _splice(V, j, new_row):
+        """V with row j replaced (static j; concat instead of scatter —
+        Mosaic has no value-level scatter; zero-size pieces are illegal
+        vector types and must be skipped)."""
+        parts = []
+        if j > 0:
+            parts.append(V[:j])
+        parts.append(new_row)
+        if j + 1 < win:
+            parts.append(V[j + 1 :])
+        return jnp.concatenate(parts, axis=0)
+
+    def block(kb, _):
+        r0 = kb * 8
+        W = Bv[pl.ds(r0, win), :, :]                   # (win, wpad, TILE)
+        for j in range(8):  # static unroll within the block
+            row = W[j : j + 1]                         # (1, wpad, TILE)
+            dj = row[:, 0:1, :]
+            if clamp > 0.0:
+                sgn = jnp.where(dj >= 0.0, jnp.ones_like(dj), -jnp.ones_like(dj))
+                dj = sgn * jnp.maximum(jnp.abs(dj), clamp)
+            r = jnp.concatenate(
+                [jnp.zeros((1, 1, tile), jnp.float32), row[:, 1:, :] / dj],
+                axis=1,
+            )                                          # (1, wpad, TILE)
+            W = _splice(W, j, jnp.concatenate([dj, r[:, 1:, :]], axis=1))
+            # window update: band[c+i_, k-i_] -= d * r[i_] * r[k]; the
+            # left-shifted r aligns source band positions with the
+            # target row, and its zero tail keeps the full-width
+            # subtraction exact
+            for i_ in range(1, w + 1):
+                ri = r[:, i_ : i_ + 1, :]              # (1, 1, TILE)
+                shifted = jnp.concatenate(
+                    [r[:, i_:, :], jnp.zeros((1, i_, tile), jnp.float32)],
+                    axis=1,
+                )
+                t = j + i_
+                W = _splice(W, t, W[t : t + 1] - dj * ri * shifted)
+        Bv[pl.ds(r0, win), :, :] = W
+        return jnp.int32(0)
+
+    lax.fori_loop(jnp.int32(0), jnp.int32(nb8), block, jnp.int32(0), unroll=False)
+    cp_out = pltpu.make_async_copy(
+        Bv, out_hbm.at[:, :, pl.ds(i * tile, tile)], sem
+    )
+    cp_out.start()
+    cp_out.wait()
+
+
+def _solve_kernel(nb8: int, npad: int, w: int, wpad: int, tile: int,
+                  fband_hbm, b_hbm, x_hbm, Bv, xv, sem):
+    """Two banded substitutions for TILE systems at once."""
+    i = jnp.int32(pl.program_id(0))
+    cp_L = pltpu.make_async_copy(
+        fband_hbm.at[:, :, pl.ds(i * tile, tile)], Bv, sem
+    )
+    cp_L.start()
+    cp_L.wait()
+    cp_b = pltpu.make_async_copy(b_hbm.at[:, pl.ds(i * tile, tile)], xv, sem)
+    cp_b.start()
+    cp_b.wait()
+    win = _win(w)
+
+    # forward: L y = b (unit lower), right-looking scatter per block
+    def fwd(kb, _):
+        r0 = kb * 8
+        X = xv[pl.ds(r0, win), :]                      # (win, TILE)
+        B8 = Bv[pl.ds(r0, 8), :, :]                    # (8, wpad, TILE)
+        for j in range(8):
+            yc = X[j : j + 1]                          # (1, TILE)
+            Lcol = B8[j, 1 : w + 1, :]                 # (w, TILE)
+            X = jnp.concatenate(
+                [
+                    X[: j + 1],
+                    X[j + 1 : j + 1 + w] - Lcol * yc,
+                    X[j + 1 + w :],
+                ],
+                axis=0,
+            )
+        xv[pl.ds(r0, win), :] = X
+        return jnp.int32(0)
+
+    lax.fori_loop(jnp.int32(0), jnp.int32(nb8), fwd, jnp.int32(0), unroll=False)
+
+    # diagonal (padding rows carry d = 1)
+    xv[:, :] = xv[:, :] / Bv[:, 0, :]
+
+    # backward: L^T x = y, left-looking gather per block (reverse order);
+    # rows past the block's own 8 are already final, so only the first 8
+    # window rows are stored back
+    def bwd(s_, _):
+        kb = nb8 - 1 - s_
+        r0 = kb * 8
+        X = xv[pl.ds(r0, win), :]
+        B8 = Bv[pl.ds(r0, 8), :, :]
+        for j in range(7, -1, -1):
+            Lcol = B8[j, 1 : w + 1, :]
+            acc = jnp.sum(Lcol * X[j + 1 : j + 1 + w], axis=0, keepdims=True)
+            parts = ([X[:j]] if j > 0 else []) + [X[j : j + 1] - acc, X[j + 1 :]]
+            X = jnp.concatenate(parts, axis=0)
+        xv[pl.ds(r0, 8), :] = X[:8]
+        return jnp.int32(0)
+
+    lax.fori_loop(jnp.int32(0), jnp.int32(nb8), bwd, jnp.int32(0), unroll=False)
+    cp_x = pltpu.make_async_copy(xv, x_hbm.at[:, pl.ds(i * tile, tile)], sem)
+    cp_x.start()
+    cp_x.wait()
+
+
+# ---------------------------------------------------------------------------
+# batched entry points: band (B, n, w+1), vectors (B, n)
+# ---------------------------------------------------------------------------
+
+def _interpret() -> bool:
+    try:
+        return jax.default_backend() != "tpu"
+    except Exception:  # pragma: no cover
+        return True
+
+
+@functools.partial(jax.jit, static_argnames=("w", "clamp"))
+def fleet_banded_factor_batched(band: jax.Array, w: int, clamp: float = 0.0):
+    """Banded LDL of a batch: band (B, n, w+1) f32 (lower band rows) ->
+    factored band of the same shape (row c = [d_c, L[c+1:c+w+1, c]])."""
+    B, n = band.shape[0], band.shape[1]
+    npad = _pad_rows(n, w)
+    wpad = _pad_w(w)
+    tile = TILE
+    Bpad = -(-B // tile) * tile
+    bp = jnp.zeros((Bpad, npad, wpad), jnp.float32)
+    bp = bp.at[:, :, 0].set(1.0)  # identity padding rows
+    bp = bp.at[:B, :n, : w + 1].set(band.astype(jnp.float32))
+    bl = jnp.transpose(bp, (1, 2, 0))                  # (npad, wpad, Bpad)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _factor_kernel, -(-n // 8), npad, w, wpad, tile, clamp
+        ),
+        grid=(Bpad // tile,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_shape=jax.ShapeDtypeStruct((npad, wpad, Bpad), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((npad, wpad, tile), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=_interpret(),
+    )(bl)
+    return jnp.transpose(out, (2, 0, 1))[:B, :n, : w + 1]
+
+
+@functools.partial(jax.jit, static_argnames=("w",))
+def fleet_banded_solve_batched(fband: jax.Array, b: jax.Array, w: int):
+    """Solve (L diag(d) L^T) x = b for a batch: fband (B, n, w+1) from
+    :func:`fleet_banded_factor_batched`, b (B, n)."""
+    B, n = b.shape
+    npad = _pad_rows(n, w)
+    wpad = _pad_w(w)
+    tile = TILE
+    Bpad = -(-B // tile) * tile
+    fp = jnp.zeros((Bpad, npad, wpad), jnp.float32)
+    fp = fp.at[:, :, 0].set(1.0)
+    fp = fp.at[:B, :n, : w + 1].set(fband.astype(jnp.float32))
+    bpv = jnp.zeros((Bpad, npad), jnp.float32).at[:B, :n].set(
+        b.astype(jnp.float32)
+    )
+    fl = jnp.transpose(fp, (1, 2, 0))
+    bl = jnp.transpose(bpv, (1, 0))
+
+    x = pl.pallas_call(
+        functools.partial(
+            _solve_kernel, -(-n // 8), npad, w, wpad, tile
+        ),
+        grid=(Bpad // tile,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_shape=jax.ShapeDtypeStruct((npad, Bpad), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((npad, wpad, tile), jnp.float32),
+            pltpu.VMEM((npad, tile), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=_interpret(),
+    )(fl, bl)
+    return jnp.transpose(x, (1, 0))[:B, :n]
+
+
+# ---------------------------------------------------------------------------
+# custom_vmap wrappers: per-instance API, fleet execution under vmap
+# ---------------------------------------------------------------------------
+
+def _make_wrappers(w: int, clamp: float):
+    @jax.custom_batching.custom_vmap
+    def factor(band):
+        return fleet_banded_factor_batched(band[None], w, clamp=clamp)[0]
+
+    @factor.def_vmap
+    def _factor_vmap(axis_size, in_batched, band):
+        (bb,) = in_batched
+        assert bb, "fleet_banded factor: operand must be batched"
+        return fleet_banded_factor_batched(band, w, clamp=clamp), True
+
+    @jax.custom_batching.custom_vmap
+    def solve(fband, b):
+        return fleet_banded_solve_batched(fband[None], b[None], w)[0]
+
+    @solve.def_vmap
+    def _solve_vmap(axis_size, in_batched, fband, b):
+        fb, bb = in_batched
+        assert fb, "fleet_banded solve: factor must be batched"
+        if not bb:
+            b = jnp.broadcast_to(b, (axis_size,) + b.shape)
+        return fleet_banded_solve_batched(fband, b, w), True
+
+    return factor, solve
+
+
+_WRAPPERS: dict = {}
+
+
+def _wrappers(w: int, clamp: float):
+    key = (w, clamp)
+    if key not in _WRAPPERS:
+        _WRAPPERS[key] = _make_wrappers(w, clamp)
+    return _WRAPPERS[key]
+
+
+class FleetBandedFactorization:
+    """KKT-backend adapter (contract of kkt/dense.py KKTFactorization).
+
+    Pipeline per factorization, all vmap-compatible:
+
+    1. symmetric permutation to banded form via the build-time RCM plan
+       (one fused gather extracts the band directly — the (n,n) matrix
+       is never materialized in permuted order);
+    2. Jacobi equilibration s = 1/sqrt(|diag|) (compresses the pivot
+       dynamic range so the unpivoted f32 elimination stays accurate);
+    3. fleet banded LDL (Pallas, batch in lanes);
+    4. solves run in f32 through the band, refined ``n_refine`` times
+       against the true (unpermuted, unscaled) matrix.
+    """
+
+    def __init__(self, WW, plan: BandedPlan, n_refine: int = 2,
+                 clamp: float = 1e-7):
+        self.WW = WW
+        self.plan = plan
+        self.n_refine = n_refine
+        n, w = plan.n, plan.bandwidth
+        self.w = w
+        perm = np.asarray(plan.perm)
+        # band gather indices: band[c, i] = Wp[c+i, c] = WW[perm[c+i], perm[c]]
+        c = np.arange(n)[:, None]
+        i = np.arange(w + 1)[None, :]
+        rows = perm[np.minimum(c + i, n - 1)]
+        cols = np.broadcast_to(perm[c], (n, w + 1))
+        mask = (c + i) < n
+        W32 = WW.astype(jnp.float32)
+        band = W32[rows, cols] * jnp.asarray(mask, jnp.float32)
+        # Jacobi equilibration on the permuted diagonal
+        diag = band[:, 0]
+        s = lax.rsqrt(jnp.maximum(jnp.abs(diag), 1e-30))
+        self.s = s
+        # band_scaled[c, i] = s[c+i] * Wp[c+i, c] * s[c] (band is already
+        # masked past n, so the clipped s-gather is harmless)
+        band = band * s[:, None] * s[np.minimum(c + i, n - 1)]
+        factor_fn, solve_fn = _wrappers(w, clamp)
+        self.fband = factor_fn(band)
+        self._solve_fn = solve_fn
+
+    def _solve32(self, rhs):
+        plan = self.plan
+        perm = jnp.asarray(plan.perm)
+        iperm = jnp.asarray(plan.iperm)
+        bp = self.s * rhs.astype(jnp.float32)[perm]
+        xp = self.s * self._solve_fn(self.fband, bp)
+        return xp[iperm]
+
+    def solve(self, rhs):
+        if rhs.ndim == 2:
+            cols = [self.solve(rhs[:, k]) for k in range(rhs.shape[1])]
+            return jnp.stack(cols, axis=1)
+        dt = rhs.dtype
+        x = self._solve32(rhs).astype(dt)
+        for _ in range(self.n_refine):
+            x = x + self._solve32(rhs - self.WW @ x).astype(dt)
+        return x
+
+    def inertia(self, tol: float = 0.0):
+        rt = jnp.result_type(self.WW)
+        d = self.fband[:, 0]
+        mp = jnp.sum(d > tol).astype(rt)
+        mn = jnp.sum(d < -tol).astype(rt)
+        return mp, mn
+
+
+def fleet_banded_kkt_factorize(WW, plan: BandedPlan, n_refine: int = 2,
+                               clamp: float = 1e-7):
+    return FleetBandedFactorization(WW, plan, n_refine=n_refine, clamp=clamp)

@@ -59,7 +59,7 @@ def _ldl_kernel(nb: int, clamp: float, A_ref, Lt_ref, d_ref, M):
             rowc = M[pl.ds(c, 1), :]                       # (1, n)
             dj = jnp.sum(jnp.where(cols == c, rowc, 0.0))
             if clamp > 0.0:
-                s = jnp.where(dj >= 0.0, 1.0, -1.0)
+                s = jnp.where(dj >= 0.0, jnp.ones_like(dj), -jnp.ones_like(dj))
                 dj = s * jnp.maximum(jnp.abs(dj), clamp)
             r = jnp.where(cols > c, rowc / dj, 0.0)        # (1, n) = L[:,c]^T
             Lt_ref[pl.ds(c, 1), :] = r
@@ -71,9 +71,9 @@ def _ldl_kernel(nb: int, clamp: float, A_ref, Lt_ref, d_ref, M):
                 rp, r, _DN_OUTER, preferred_element_type=jnp.float32
             )                                              # (BS, n)
             M[base : base + BS, :] = M[base : base + BS, :] - dj * outer
-            return 0
+            return jnp.int32(0)
 
-        lax.fori_loop(0, BS, panel_step, 0)
+        lax.fori_loop(jnp.int32(0), jnp.int32(BS), panel_step, jnp.int32(0))
 
         if k < nb - 1:
             # trailing rows update via the MXU:
@@ -107,9 +107,9 @@ def _solve_kernel(n: int, Lt_ref, d_ref, b_ref, x_ref, y):
         yc = jnp.sum(jnp.where(cols == c, y[:], 0.0))
         r = Lt_ref[pl.ds(c, 1), :]                         # (1, n)
         y[:] = y[:] - yc * jnp.where(cols > c, r, 0.0)
-        return 0
+        return jnp.int32(0)
 
-    lax.fori_loop(0, n, fwd, 0)
+    lax.fori_loop(jnp.int32(0), jnp.int32(n), fwd, jnp.int32(0))
     y[:] = y[:] / d_ref[:]
 
     # backward L^T x = y, left-looking:
@@ -119,9 +119,9 @@ def _solve_kernel(n: int, Lt_ref, d_ref, b_ref, x_ref, y):
         r = Lt_ref[pl.ds(c, 1), :]
         acc = jnp.sum(jnp.where(cols > c, r * y[:], 0.0))
         y[:] = jnp.where(cols == c, y[:] - acc, y[:])
-        return 0
+        return jnp.int32(0)
 
-    lax.fori_loop(0, n, bwd, 0)
+    lax.fori_loop(jnp.int32(0), jnp.int32(n), bwd, jnp.int32(0))
     x_ref[:] = y[:]
 
 

@@ -82,6 +82,11 @@ VARIANTS = {
     "G": dict(variant="standard", smallerNewtonMatrix=True, kkt_backend="fleet",
               kkt_refine=1),
     "H": dict(variant="standard", smallerNewtonMatrix=True, kkt_backend="tridiag"),
+    "I": dict(variant="standard", smallerNewtonMatrix=True, kkt_backend="fleet_banded"),
+    "J": dict(variant="standard", smallerNewtonMatrix=True, kkt_backend="fleet_banded",
+              kkt_refine=1),
+    "K": dict(variant="standard", smallerNewtonMatrix=True, kkt_backend="fleet_banded",
+              skipAffine=False),
 }
 
 
