@@ -55,16 +55,29 @@ def run_scaling(sizes=(30, 60, 100, 200), reps=5, dtype="float64"):
             r = solver.solve_result(params, init=init, mu0=1.0, max_iter=60)
             iters += int(r.iters.block_until_ready())
         dt = (time.perf_counter() - t0) / reps
+        # flop accounting per iteration (the analog of flops.m's counter
+        # report built from the 17 generated-code counters; here from
+        # tenscalc_tpu.profiling.flop_counts)
+        from tenscalc_tpu.profiling import flop_counts
+
+        fc = flop_counts(solver)
         rows.append(
             dict(N=N, solve_us=dt * 1e6, us_per_iter=dt / (iters / reps) * 1e6,
-                 iters=iters // reps)
+                 iters=iters // reps,
+                 flops_per_iter=fc["total_per_iteration"],
+                 flops_per_solve=fc["total_per_iteration"] * (iters // reps))
         )
     return rows
 
 
 if __name__ == "__main__":
+    # reference table format (flops.m:27-43): size, flops, time
+    print(f"{'N':>5s} {'flops/solve':>12s} {'us/solve':>10s} "
+          f"{'us/iter':>9s} {'iters':>6s} {'GFLOP/s':>8s}")
     for row in run_scaling():
+        gflops = row["flops_per_solve"] / row["solve_us"] / 1e3
         print(
-            f"N={row['N']:4d}: {row['solve_us']:9.0f} us/solve, "
-            f"{row['us_per_iter']:8.0f} us/iter ({row['iters']} iters)"
+            f"{row['N']:5d} {row['flops_per_solve']:12.3e} "
+            f"{row['solve_us']:10.0f} {row['us_per_iter']:9.0f} "
+            f"{row['iters']:6d} {gflops:8.2f}"
         )

@@ -24,7 +24,7 @@ def analyze_hessian(solver, parameters, init=None, mu: float = 1e-1) -> dict:
     dt = solver.opts.np_dtype
     penv = solver._param_env(parameters)
     u = solver._pack_init(init)
-    nU, nF, nG = solver.nU, solver.nF, solver.nG
+    nF, nG = solver.nF, solver.nG
     lam = jnp.ones((nF,), dt)
     nu = jnp.zeros((nG,), dt)
     a = solver._solve_raw._assemble_ww(
@@ -32,6 +32,14 @@ def analyze_hessian(solver, parameters, init=None, mu: float = 1e-1) -> dict:
         jnp.asarray(1e-9, dt), jnp.asarray(1e-9, dt),
         penv, jnp.ones((nF,), dt), jnp.ones((), dt),
     )
+    return analyze_assembled(solver, a)
+
+
+def analyze_assembled(solver, a: Mapping[str, Any]) -> dict:
+    """Structural report from an assembled KKT dict (as produced by the
+    solver's ``_assemble_ww`` or by :meth:`OptimizeSolver.capture_ww` —
+    the saveWW__ post-mortem path, lib/ipmPD_CS.m:511-515)."""
+    nU, nF, nG = solver.nU, solver.nF, solver.nG
     WW = np.asarray(a["WW"])
     H = np.asarray(a["WW11"])
     Fu = np.asarray(a["Fu"])

@@ -38,11 +38,20 @@ from .solver import (
 )
 
 
+# regularization-adaptation constants (lib/ipmPDeq_CSsolver.c:313-316)
+ADDE_MAX = 1e-2
+ADDE_MIN = 1e-20
+MAX_DIRECTION_ERROR = 1e-9
+MAX_ADAPT_STEPS = 20
+
+
 class EqState(NamedTuple):
     z: jax.Array       # [u; d; x]
     nu: jax.Array      # [P1nu; P1xnu; P2nu; P2xnu]
     lam: jax.Array     # [P1lambda; P2lambda]
     mu: jax.Array
+    addE2: jax.Array   # adapted addEye2Hessian2 (equality regularization)
+    addE2_next: jax.Array
     alphaPrimal: jax.Array
     alphaDualIneq: jax.Array
     alphaDualEq: jax.Array
@@ -130,7 +139,29 @@ def build_equilibrium_ipm(fns: _EqFns, dims, opts: SolverOptions):
 
         return Fu, Fd, Fall, Gall, Lf, Lg, stat
 
-    def compute_direction(z, nu, lam, mu, penv, sFu, sFd, sc):
+    # the equality-regularization diagonal of the (nGres x nNu) dual
+    # block: each equality residual row is paired with "its" multiplier
+    # column (Gu <-> P1nu, Gd <-> P2nu, H <-> P1xnu).  When nH == 0 this
+    # is exactly the reference's -addEye2Hessian2*eye(nG)
+    # (lib/ipmPDeqlat_CS.m:367); with latent constraints (which the
+    # reference leaves unregularized) it generalizes the same recovery.
+    _eq_rows = np.concatenate(
+        [
+            np.arange(nGu),                       # Gu rows
+            nGu + np.arange(nGd),                 # Gd rows
+            nGu + nGd + np.arange(nH),            # H rows
+        ]
+    ).astype(np.int32)
+    _eq_cols = np.concatenate(
+        [
+            np.arange(nGu),                       # P1nu
+            nGu + nH + np.arange(nGd),            # P2nu
+            nGu + np.arange(nH),                  # P1xnu
+        ]
+    ).astype(np.int32)
+
+    def compute_direction(z, nu, lam, mu, penv, sFu, sFd, sc,
+                          addE1, addE2):
         Fu, Fd, Fall, Gall, Lf, Lg, stat = scaled_fns(penv, sFu, sFd, sc)
         sv = stat(z, nu, lam)
         Sz = jax.jacfwd(stat, argnums=0)(z, nu, lam)
@@ -143,18 +174,27 @@ def build_equilibrium_ipm(fns: _EqFns, dims, opts: SolverOptions):
 
         if opts.smallerNewtonMatrix and nF:
             # condensed system: eliminate dLambda
-            # (ipmPDeqlat_CS.m:300-415 small-matrix branch); the
-            # reference regularizes only the nX=0 case — mirrored here
+            # (ipmPDeqlat_CS.m:300-415 small-matrix branch):
+            # +addEye2Hessian1 on the stationarity diagonal and
+            # -addEye2Hessian2 on the equality-dual diagonal
+            # (ipmPDeqlat_CS.m:366-367; the reference writes them in the
+            # nX=0 branch, and its commented-out full-eye shows the same
+            # intent for nX>0)
             LFF = (lam / Fv)[:, None] * Fz          # (nF, nZ)
-            top_left = Sz - Sl @ LFF
-            if nX == 0 and opts.addEye2Hessian:
-                top_left = top_left + 1e-9 * jnp.eye(nZ, dtype=dt)
+            top_left = Sz - Sl @ LFF                # (nS, nZ): rectangular
+            if opts.addEye2Hessian:
+                # +addE1 on the leading diagonal (exactly eye(nZ) when
+                # nX == 0, matching ipmPDeqlat_CS.m:366; the extra Lg_x
+                # rows with nX > 0 have no z-column partner)
+                didx = jnp.arange(nZ)
+                top_left = top_left.at[didx, didx].add(addE1)
+            dual_blk = jnp.zeros((nGres, nNu), dt)
+            if opts.addEye2Hessian and nGres:
+                dual_blk = dual_blk.at[_eq_rows, _eq_cols].add(-addE2)
             WWs = jnp.concatenate(
                 [
                     jnp.concatenate([top_left, Sn], axis=1),
-                    jnp.concatenate(
-                        [Gz, jnp.zeros((nGres, nNu), dt)], axis=1
-                    ),
+                    jnp.concatenate([Gz, dual_blk], axis=1),
                 ],
                 axis=0,
             )
@@ -223,6 +263,24 @@ def build_equilibrium_ipm(fns: _EqFns, dims, opts: SolverOptions):
             axis=1,
         )
         WW = jnp.concatenate([row1, row2, row3], axis=0)
+        if opts.addEye2Hessian:
+            # recovery regularization for the large matrix: +addE1 on
+            # the primal diagonal, -addE2 on the dual diagonal.  The
+            # reference leaves its large branch unregularized (the
+            # commented-out WW+addEye2Hessian*Teye at
+            # ipmPDeqlat_CS.m:374 shows the intended device); without
+            # it an ill-conditioned game has no recovery path, so the
+            # same derr-gated adaptation as the condensed branch is
+            # applied here.
+            nKK = WW.shape[0]
+            shift = jnp.concatenate(
+                [
+                    addE1 * jnp.ones((nZ,), dt),
+                    -addE2 * jnp.ones((nNu,), dt),
+                    jnp.zeros((nKK - nZ - nNu,), dt),
+                ]
+            )
+            WW = WW + jnp.diag(shift)
         # unsymmetric system -> pivoted LU (reference default useLDL=false);
         # on TPU this runs as f32 LU + f64 iterative refinement
         from ..kkt.dense import kkt_factorize
@@ -278,12 +336,15 @@ def build_equilibrium_ipm(fns: _EqFns, dims, opts: SolverOptions):
         derr = _norminf(WW @ dx - b)
         return dx, mu_new, derr, sv, Fz, Fv, Gv
 
-    def solve(z0, penv, mu0=1.0, max_iter=None) -> IPMResult:
+    def solve(z0, penv, mu0=1.0, max_iter=None, addE10=1e-9,
+              addE20=1e-9) -> IPMResult:
         max_iter_v = jnp.asarray(
             opts.maxIter if max_iter is None else max_iter, jnp.int32
         )
         z0 = jnp.asarray(z0, dt)
         mu0 = jnp.asarray(mu0, dt)
+        addE1 = jnp.asarray(addE10 if opts.addEye2Hessian else 0.0, dt)
+        addE20 = jnp.asarray(addE20 if opts.addEye2Hessian else 0.0, dt)
 
         if nFu and opts.scaleInequalities:
             sFu = jnp.abs(1.0 / fns.Fu(z0, penv)).astype(dt)
@@ -312,6 +373,7 @@ def build_equilibrium_ipm(fns: _EqFns, dims, opts: SolverOptions):
 
         st0 = EqState(
             z=z0, nu=nu0, lam=lam0, mu=mu0,
+            addE2=addE20, addE2_next=addE20,
             alphaPrimal=jnp.zeros((), dt),
             alphaDualIneq=jnp.zeros((), dt),
             alphaDualEq=jnp.zeros((), dt),
@@ -347,6 +409,7 @@ def build_equilibrium_ipm(fns: _EqFns, dims, opts: SolverOptions):
 
         def _step(st):
             it = st.it + 1
+            addE2 = st.addE2_next  # delayed update (ipmPDeq_CSsolver.c:318-329)
             g, eq, gap, ineq, dual = exit_metrics(st)
 
             status = jnp.zeros((), jnp.int32)
@@ -367,18 +430,64 @@ def build_equilibrium_ipm(fns: _EqFns, dims, opts: SolverOptions):
             early = fail_maxiter | fail_nan | fail_ineq | fail_dual | converged
 
             def stop(_):
-                return st._replace(it=it, status=status, done=jnp.asarray(True))
+                return st._replace(
+                    it=it, addE2=addE2, addE2_next=addE2,
+                    status=status, done=jnp.asarray(True),
+                )
 
             def iterate(_):
-                return _iterate(st._replace(it=it), g, eq, gap)
+                return _iterate(st._replace(it=it, addE2=addE2), g, eq, gap)
 
             return lax.cond(early, stop, iterate, None)
 
         def _iterate(st, g, eq, gap):
-            z, nu, lam, mu = st.z, st.nu, st.lam, st.mu
-            dx, mu_aff, derr, sv, Fz, Fv, Gv = compute_direction(
-                z, nu, lam, mu, penv, sFu, sFd, sc
-            )
+            z, nu, lam, mu, addE2 = st.z, st.nu, st.lam, st.mu, st.addE2
+
+            def direction(aE2):
+                return compute_direction(
+                    z, nu, lam, mu, penv, sFu, sFd, sc, addE1, aE2
+                )
+
+            if not (opts.addEye2Hessian and opts.adjustAddEye2Hessian):
+                dx, mu_aff, derr, sv, Fz, Fv, Gv = direction(addE2)
+                addE2_next = addE2
+            else:
+                # the reference driver's adjust loop
+                # (lib/ipmPDeq_CSsolver.c:330-374): while the direction
+                # error exceeds tolerance, double addEye2Hessian2 and
+                # re-solve (bounded); when accurate, schedule a x0.75
+                # decrease for the next iteration.  Solve-at-least-once
+                # while_loop keeps the KKT solve traced exactly once.
+                shapes = jax.eval_shape(direction, addE2)
+                zeros = jax.tree.map(
+                    lambda s: jnp.zeros(s.shape, s.dtype), shapes
+                )
+
+                def adapt_cond(carry):
+                    k, aE, res = carry
+                    bad = (res[2] >= MAX_DIRECTION_ERROR) & (aE < ADDE_MAX)
+                    return (k == 0) | (bad & (k <= MAX_ADAPT_STEPS))
+
+                def adapt_body(carry):
+                    k, aE, _ = carry
+                    aE2 = jnp.where(
+                        k == 0,
+                        aE,
+                        jnp.minimum(2.0 * jnp.maximum(aE, ADDE_MIN), ADDE_MAX),
+                    )
+                    res = direction(aE2)
+                    return k + 1, aE2, res
+
+                k, addE2, res = lax.while_loop(
+                    adapt_cond, adapt_body,
+                    (jnp.zeros((), jnp.int32), addE2, zeros),
+                )
+                dx, mu_aff, derr, sv, Fz, Fv, Gv = res
+                addE2_next = jnp.where(
+                    (derr < MAX_DIRECTION_ERROR) & (addE2 > ADDE_MIN),
+                    jnp.maximum(0.75 * addE2, ADDE_MIN),
+                    addE2,
+                )
             if not opts.skipAffine:
                 mu = jnp.maximum(mu_aff, mu_min)
             dZ = dx[:nZ]
@@ -454,6 +563,8 @@ def build_equilibrium_ipm(fns: _EqFns, dims, opts: SolverOptions):
                 nu=jnp.where(done, nu, new_nu) if nNu else nu,
                 lam=jnp.where(done, lam, new_lam) if nF else lam,
                 mu=new_mu,
+                addE2=addE2,
+                addE2_next=addE2_next,
                 alphaPrimal=alphaPrimal if nF else jnp.asarray(opts.alphaMax, dt),
                 alphaDualIneq=alphaDualIneq if nF else jnp.zeros((), dt),
                 alphaDualEq=alphaDualEq if nF else jnp.asarray(opts.alphaMax, dt),
@@ -497,8 +608,8 @@ def build_equilibrium_ipm(fns: _EqFns, dims, opts: SolverOptions):
             norminf_eq=eq,
             gap=gap,
             f=fns.f(final.z, penv),
-            addU=jnp.zeros((), dt),
-            addEq=jnp.zeros((), dt),
+            addU=addE1,
+            addEq=final.addE2,
         )
 
     return solve
@@ -650,11 +761,12 @@ class EquilibriumSolver:
         )
         z0 = jnp.concatenate([env[n] for n in names], axis=1)
         fn = jax.jit(
-            jax.vmap(self._solve_raw, in_axes=(0, 0, None, None))
+            jax.vmap(self._solve_raw, in_axes=(0, 0, None, None, None, None))
         )
         return fn(
             z0, penv, jnp.asarray(mu0, dt),
             self.opts.maxIter if max_iter is None else max_iter,
+            1e-9, 1e-9,
         )
 
     def solve(self, parameters=None, init=None, mu0: float = 1.0,

@@ -40,11 +40,11 @@ from .solver import (
 )
 from .status import describe_status
 
-# reference constants (ipmPDminmax_CSsolver.c:313-316)
-ADD_MAX = 1e-2
+# reference constants (ipmPDminmax_CSsolver.m:37-42)
+ADD_MAX = 1e2
 ADD_MIN = 1e-20
-MAX_DIRECTION_ERROR = 1e-9
-MAX_ADAPT_STEPS = 20
+MAX_DIRECTION_ERROR = 1e-7
+MAX_ADAPT_STEPS = 30
 
 
 class MinMaxState(NamedTuple):
@@ -52,8 +52,12 @@ class MinMaxState(NamedTuple):
     nu: jax.Array         # [nuU; nuD]
     lam: jax.Array        # [lambdaU; lambdaD]
     mu: jax.Array
-    addD: jax.Array       # adapted regularization (addEye2Hessian2)
+    addU: jax.Array       # addEye2HessianU (+ on the u block)
+    addU_next: jax.Array
+    addD: jax.Array       # addEye2HessianD (- on the d block)
     addD_next: jax.Array
+    addEq: jax.Array      # addEye2HessianEq (- on the equality block)
+    addEq_next: jax.Array
     alphaPrimal: jax.Array
     alphaDualIneq: jax.Array
     alphaDualEq: jax.Array
@@ -108,7 +112,14 @@ def build_minmax_ipm(fns, nUu, nD, nFu, nFd, nGu, nGd, opts: SolverOptions):
 
         return f, Fu, Fd, Fall, Gall, lagrangian
 
-    def compute_direction(z, nu, lam, mu, addU, addD, addEq, penv, sFu, sFd, sc):
+    # desired inertias (ipmPDminmax_CSsolver.m:68-69): the full saddle
+    # KKT should carry nU + nGd + nFd positive eigenvalues; the maximizer
+    # sub-system HessD should carry nD negative ones
+    mp_desired = float(nUu + nGd + nFd)
+    mn_desired = float(nD)
+
+    def compute_direction(z, nu, lam, mu, addU, addD, addEq, penv, sFu, sFd,
+                          sc, need_inertia: bool):
         f, Fu, Fd, Fall, Gall, lagr = scaled_fns(penv, sFu, sFd, sc)
         grad_z = jax.grad(lagr, argnums=0)(z, nu, lam)
         H = jax.jacfwd(jax.grad(lagr, argnums=0), argnums=0)(z, nu, lam)
@@ -144,7 +155,38 @@ def build_minmax_ipm(fns, nUu, nD, nFu, nFd, nGu, nGd, opts: SolverOptions):
         L, dfac = ldl_factor(WW, block=opts.ldl_block)
         dx = ldl_solve(L, dfac, b)
         derr = _norminf(WW @ dx - b)
-        return dx, derr, grad_z, jnp.concatenate([Fuz, Fdz], axis=0), jnp.concatenate([Fuv, Fdv]), Gv
+        if need_inertia:
+            # full-matrix inertia from the WW LDL (getHessUinertia__)
+            from ..kkt.dense import ldl_inertia
+
+            mpU, _ = ldl_inertia(dfac)
+            # maximizer sub-system HessD (ipmPDminmax_CS.m:246-259):
+            # [Lf_dd - addD*I, Gd_d', Fd_d'; Gd_d, -addEq*I, 0;
+            #  Fd_d, 0, diag(Fd/lambdaD)] — its LDL d-signs give the
+            # per-player inertia check (getHessDinertia__)
+            Hdd = WWUD[nUu:, nUu:]
+            Gdz_d = Gz[nGu:, nUu:]
+            Fdz_d = Fdz[:, nUu:]
+            I_Gd = jnp.eye(nGd, dtype=dt)
+            hrow1 = jnp.concatenate([Hdd, Gdz_d.T, Fdz_d.T], axis=1)
+            hrow2 = jnp.concatenate(
+                [Gdz_d, -addEq * I_Gd, jnp.zeros((nGd, nFd), dt)], axis=1
+            )
+            hrow3 = jnp.concatenate(
+                [Fdz_d, jnp.zeros((nFd, nGd), dt), jnp.diag(Fdv / lamD)],
+                axis=1,
+            )
+            HessD = jnp.concatenate([hrow1, hrow2, hrow3], axis=0)
+            _, dD = ldl_factor(HessD, block=opts.ldl_block)
+            _, mnD = ldl_inertia(dD)
+        else:
+            mpU = jnp.asarray(mp_desired, dt)
+            mnD = jnp.asarray(mn_desired, dt)
+        return (
+            dx, derr, mpU, mnD, grad_z,
+            jnp.concatenate([Fuz, Fdz], axis=0),
+            jnp.concatenate([Fuv, Fdv]), Gv,
+        )
 
     def solve(z0, penv, mu0=1.0, max_iter=None, addU0=1e-9, addD0=1e-9,
               addEq0=1e-9) -> IPMResult:
@@ -153,9 +195,9 @@ def build_minmax_ipm(fns, nUu, nD, nFu, nFd, nGu, nGd, opts: SolverOptions):
         )
         z0 = jnp.asarray(z0, dt)
         mu0 = jnp.asarray(mu0, dt)
-        addU = jnp.asarray(addU0 if opts.addEye2Hessian else 0.0, dt)
+        addU0 = jnp.asarray(addU0 if opts.addEye2Hessian else 0.0, dt)
         addD0 = jnp.asarray(addD0 if opts.addEye2Hessian else 0.0, dt)
-        addEq = jnp.asarray(addEq0 if opts.addEye2Hessian else 0.0, dt)
+        addEq0 = jnp.asarray(addEq0 if opts.addEye2Hessian else 0.0, dt)
 
         # scaling at the initial point (ipmPDminmax_CS.m:58-82)
         if nFu and opts.scaleInequalities:
@@ -185,7 +227,9 @@ def build_minmax_ipm(fns, nUu, nD, nFu, nFd, nGu, nGd, opts: SolverOptions):
 
         st0 = MinMaxState(
             z=z0, nu=nu0, lam=lam0, mu=mu0,
+            addU=addU0, addU_next=addU0,
             addD=addD0, addD_next=addD0,
+            addEq=addEq0, addEq_next=addEq0,
             alphaPrimal=jnp.zeros((), dt),
             alphaDualIneq=jnp.zeros((), dt),
             alphaDualEq=jnp.zeros((), dt),
@@ -214,7 +258,9 @@ def build_minmax_ipm(fns, nUu, nD, nFu, nFd, nGu, nGd, opts: SolverOptions):
 
         def _step(st):
             it = st.it + 1
+            addU = st.addU_next
             addD = st.addD_next
+            addEq = st.addEq_next
             g, eq, gap, ineq, dual = exit_metrics(st)
 
             status = jnp.zeros((), jnp.int32)
@@ -238,67 +284,111 @@ def build_minmax_ipm(fns, nUu, nD, nFu, nFd, nGu, nGd, opts: SolverOptions):
 
             def stop(_):
                 return st._replace(
-                    it=it, addD=addD, addD_next=addD,
+                    it=it, addU=addU, addU_next=addU,
+                    addD=addD, addD_next=addD,
+                    addEq=addEq, addEq_next=addEq,
                     status=status, done=jnp.asarray(True),
                 )
 
             def iterate(_):
-                return _iterate(st._replace(it=it, addD=addD), g, eq, gap)
+                return _iterate(
+                    st._replace(it=it, addU=addU, addD=addD, addEq=addEq),
+                    g, eq, gap,
+                )
 
             return lax.cond(early, stop, iterate, None)
 
         def _iterate(st, g, eq, gap):
-            z, nu, lam, mu, addD = st.z, st.nu, st.lam, st.mu, st.addD
+            z, nu, lam, mu = st.z, st.nu, st.lam, st.mu
+            addU, addD, addEq = st.addU, st.addD, st.addEq
+            adj = opts.addEye2Hessian and opts.adjustAddEye2Hessian
 
-            def direction(aD):
+            def direction(aU, aD, aE):
                 return compute_direction(
-                    z, nu, lam, mu, addU, aD, addEq, penv, sFu, sFd, sc
+                    z, nu, lam, mu, aU, aD, aE, penv, sFu, sFd, sc,
+                    need_inertia=adj,
                 )
 
-            if not (opts.addEye2Hessian and opts.adjustAddEye2Hessian):
-                dx, derr, grad_z, Fz, Fv, Gv = direction(addD)
-                addD_next = addD
+            if not adj:
+                dx, derr, mpU, mnD, grad_z, Fz, Fv, Gv = direction(
+                    addU, addD, addEq
+                )
+                addU_next, addD_next, addEq_next = addU, addD, addEq
             else:
-                # derr-gated adaptation of addEye2Hessian2 (= addD here),
-                # ipmPDminmax_CSsolver.c:330-372: decrease delayed when the
-                # direction is accurate, else increase x2 (re-solving) up
-                # to 20 times until accurate or at the cap.  Phrased as a
-                # solve-at-least-once while_loop so the KKT solve is traced
+                # full reference adaptation (ipmPDminmax_CSsolver.m:
+                # 254-305): per-sub-block inertia + direction error drive
+                # three regularizations — raise addU x10 while the full
+                # saddle KKT lacks positive eigenvalues, addD x10 while
+                # the maximizer block HessD lacks negative ones, addEq
+                # x10 while the direction error exceeds tolerance; all
+                # three decrease x0.75 (delayed to the next iteration)
+                # once everything looks good.  Phrased as a
+                # solve-at-least-once while_loop: the KKT solve is traced
                 # exactly once.
-                shapes = jax.eval_shape(direction, addD)
-                zeros = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+                shapes = jax.eval_shape(direction, addU, addD, addEq)
+                zeros = jax.tree.map(
+                    lambda s: jnp.zeros(s.shape, s.dtype), shapes
+                )
+
+                def flags(res, aU, aD, aE):
+                    derr, mpU, mnD = res[1], res[2], res[3]
+                    good = (
+                        (mpU == mp_desired)
+                        & (mnD == mn_desired)
+                        & (derr <= MAX_DIRECTION_ERROR)
+                    )
+                    incU = (mpU < mp_desired) & (aU < ADD_MAX)
+                    incD = (mnD < mn_desired) & (aD < ADD_MAX)
+                    incE = (derr > MAX_DIRECTION_ERROR) & (aE < ADD_MAX)
+                    return good, incU, incD, incE
 
                 def adapt_cond(carry):
-                    k, aD, res = carry
-                    first = k == 0
-                    bad = (res[1] >= MAX_DIRECTION_ERROR) & (aD < ADD_MAX)
-                    return first | (bad & (k <= MAX_ADAPT_STEPS))
+                    k, aU, aD, aE, res = carry
+                    good, incU, incD, incE = flags(res, aU, aD, aE)
+                    return (k == 0) | (
+                        ~good & (incU | incD | incE) & (k <= MAX_ADAPT_STEPS)
+                    )
 
                 def adapt_body(carry):
-                    k, aD, _ = carry
-                    aD2 = jnp.where(
-                        k == 0,
-                        aD,
-                        jnp.minimum(2.0 * jnp.maximum(aD, ADD_MIN), ADD_MAX),
+                    k, aU, aD, aE, res = carry
+                    _, incU, incD, incE = flags(res, aU, aD, aE)
+                    first = k == 0
+                    aU2 = jnp.where(
+                        ~first & incU,
+                        jnp.minimum(10.0 * jnp.maximum(aU, ADD_MIN), ADD_MAX),
+                        aU,
                     )
-                    res = direction(aD2)
-                    return k + 1, aD2, res
+                    aD2 = jnp.where(
+                        ~first & incD,
+                        jnp.minimum(10.0 * jnp.maximum(aD, ADD_MIN), ADD_MAX),
+                        aD,
+                    )
+                    aE2 = jnp.where(
+                        ~first & incE,
+                        jnp.minimum(10.0 * jnp.maximum(aE, ADD_MIN), ADD_MAX),
+                        aE,
+                    )
+                    res = direction(aU2, aD2, aE2)
+                    return k + 1, aU2, aD2, aE2, res
 
-                k, addD_new, res = lax.while_loop(
-                    adapt_cond, adapt_body, (jnp.zeros((), jnp.int32), addD, zeros)
+                k, addU, addD, addEq, res = lax.while_loop(
+                    adapt_cond,
+                    adapt_body,
+                    (jnp.zeros((), jnp.int32), addU, addD, addEq, zeros),
                 )
-                dx, derr, grad_z, Fz, Fv, Gv = res
-                changed = k > 1
-                addD = jnp.where(changed, addD_new, addD)
-                # delayed decrease only when the first direction was good
-                addD_next = jnp.where(
-                    changed,
-                    addD_new,
-                    jnp.where(
-                        (derr < MAX_DIRECTION_ERROR) & (addD > ADD_MIN),
-                        jnp.maximum(0.75 * addD, ADD_MIN),
-                        addD,
-                    ),
+                dx, derr, mpU, mnD, grad_z, Fz, Fv, Gv = res
+                # delayed decrease once all checks pass (next iteration)
+                good, _, _, _ = flags(res, addU, addD, addEq)
+
+                def dec(a):
+                    return jnp.where(
+                        good & (a > ADD_MIN),
+                        jnp.maximum(0.75 * a, ADD_MIN),
+                        a,
+                    )
+
+                addU_next, addD_next, addEq_next = (
+                    dec(addU), dec(addD), dec(addEq)
                 )
 
             dZ = dx[:nZ]
@@ -378,8 +468,12 @@ def build_minmax_ipm(fns, nUu, nD, nFu, nFd, nGu, nGd, opts: SolverOptions):
                 nu=jnp.where(done, nu, new_nu) if nG else nu,
                 lam=jnp.where(done, lam, new_lam) if nF else lam,
                 mu=new_mu,
+                addU=addU,
+                addU_next=addU_next,
                 addD=addD,
                 addD_next=addD_next,
+                addEq=addEq,
+                addEq_next=addEq_next,
                 alphaPrimal=alphaPrimal if nF else jnp.asarray(opts.alphaMax, dt),
                 alphaDualIneq=alphaDualIneq if nF else jnp.zeros((), dt),
                 alphaDualEq=alphaDualEq if nF else jnp.asarray(opts.alphaMax, dt),
@@ -424,7 +518,7 @@ def build_minmax_ipm(fns, nUu, nD, nFu, nFd, nGu, nGd, opts: SolverOptions):
             norminf_eq=eq,
             gap=gap,
             f=f(final.z) / sc,
-            addU=addU,
+            addU=final.addU,
             addEq=final.addD,
         )
 

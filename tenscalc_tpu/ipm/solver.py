@@ -61,6 +61,7 @@ class IPMState(NamedTuple):
     it: jax.Array         # int32
     done: jax.Array       # bool
     hist: jax.Array       # [maxIter, 8] iteration trace (profiling only)
+    snap: tuple           # allowSave snapshot (u,nu,lam,mu,addU,addEq) or ()
 
 
 class IPMResult(NamedTuple):
@@ -85,6 +86,10 @@ class IPMResult(NamedTuple):
     # post-hoc sensitivity analysis)
     scale_ineq: Optional[jax.Array] = None
     scale_cost: Optional[jax.Array] = None
+    # allowSave snapshot of (u, nu, lam, mu, addU, addEq) at the
+    # runtime-selected save_iter (reference: saveWW__/saveIter,
+    # lib/ipmPD_CS.m:511-515) — () when allowSave is off
+    saved: tuple = ()
 
 
 HISTORY_COLUMNS = (
@@ -407,10 +412,12 @@ def build_ipm(
         max_iter: Optional[int] = None,
         addU0=1e-9,
         addEq0=1e-9,
+        save_iter=-1,
     ) -> IPMResult:
         max_iter_v = jnp.asarray(
             opts.maxIter if max_iter is None else max_iter, jnp.int32
         )
+        save_iter_v = jnp.asarray(save_iter, jnp.int32)
         u0 = jnp.asarray(u0, dt)
         mu0 = jnp.asarray(mu0, dt)
         addU0 = jnp.asarray(addU0 if opts.addEye2Hessian else 0.0, dt)
@@ -475,7 +482,17 @@ def build_ipm(
         hist0 = jnp.full(
             (opts.maxIter if opts.profiling else 0, 8), jnp.nan, dt
         )
+        snap0 = (
+            (
+                jnp.zeros((nU,), dt), jnp.zeros((nG,), dt),
+                jnp.zeros((nF,), dt), jnp.zeros((), dt),
+                jnp.zeros((), dt), jnp.zeros((), dt),
+            )
+            if opts.allowSave
+            else ()
+        )
         state0 = IPMState(
+            snap=snap0,
             u=u0,
             nu=nu0,
             lam=lam0,
@@ -659,6 +676,17 @@ def build_ipm(
 
             grad_u, Fu, Fval, Gval = aux
 
+            # allowSave snapshot at the selected iterate (post-adapt
+            # regularizations — the state whose WW the reference's
+            # saveWW__ would dump, lib/ipmPD_CS.m:511-515)
+            snap = st.snap
+            if opts.allowSave:
+                take = st.it == save_iter_v
+                cur = (u, nu, lam, mu, addU, addEq)
+                snap = tuple(
+                    jnp.where(take, c, s) for c, s in zip(cur, snap)
+                )
+
             dU, dNu, dLambda = dirn.dU, dirn.dNu, dirn.dLambda
 
             def minF_at(alpha):
@@ -807,6 +835,7 @@ def build_ipm(
 
             new_state = IPMState(
                 hist=hist,
+                snap=snap,
                 u=jnp.where(done, u, new_u),
                 nu=jnp.where(done, nu, new_nu) if nG > 0 else nu,
                 lam=jnp.where(done, lam, new_lam) if nF > 0 else lam,
@@ -888,6 +917,7 @@ def build_ipm(
             history=final.hist if opts.profiling else None,
             scale_ineq=scale_ineq,
             scale_cost=scale_cost,
+            saved=final.snap,
         )
 
     solve._assemble_ww = assemble_ww  # exposed for structure probing

@@ -1,0 +1,237 @@
+"""Profiling: per-phase timers and flop-class counters.
+
+The reference bakes 17 flop-class counters and per-dependency-group ns
+timers into its generated C (lib/csparse/instructionsTableTypes.h:
+107-125, lib/@csparse/writeCfunctionpergroup.m:148-178) and prints them
+with profilingView (lib/@csparse/writeCprofiling.c:8-60); its
+examples/flops.m records flops + per-solve times for growing problem
+sizes.  Under XLA the per-instruction counters vanish into fused
+kernels, so the TPU-native equivalents are:
+
+* :func:`flop_counts` — analytic per-iteration flop counts by phase
+  (derivative assembly, KKT assembly, factorization, substitutions,
+  refinement, line search, exit tests), computed from the problem's
+  static dimensions and the active KKT backend/plan;
+* :func:`xla_cost` — XLA's own cost model for the whole compiled solve
+  (flops + bytes accessed), the ground truth the analytic counts are
+  sanity-checked against;
+* :func:`phase_times` — measured per-phase times.  A single dispatch
+  through the runtime carries ~tens of ms of latency, so each phase is
+  timed as an N-iteration on-device ``lax.fori_loop`` divided by N —
+  the moral analog of the reference's per-group timers, which also
+  measure steady-state in-loop cost;
+* :func:`print_profile` — the profilingView-style report.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Dict, Mapping, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+
+# ---------------------------------------------------------------------------
+# analytic flop counters
+# ---------------------------------------------------------------------------
+
+def flop_counts(solver) -> Dict[str, float]:
+    """Per-IPM-iteration flop estimates by phase for an OptimizeSolver.
+
+    Counts assume the hoisted (QP-like) path recomputes only what the
+    build-time invariance analysis left in the loop; AD factors of ~3
+    (forward) / ~4 (reverse over forward) follow the standard
+    autodiff cost model.
+    """
+    nU, nF, nG = solver.nU, solver.nF, solver.nG
+    opts = solver.opts
+    small = opts.smallerNewtonMatrix
+    nK = nU + nG + (0 if small else nF)
+    hoist_H, hoist_Fu, hoist_Gu = solver._hoist
+
+    c: Dict[str, float] = {}
+    # derivative (re)assembly inside the loop
+    c["grad_lagrangian"] = 4.0 * (nU + nF * nU + nG * nU)
+    c["hessian"] = 0.0 if hoist_H else 12.0 * nU * nU
+    c["ineq_jacobian"] = 0.0 if (hoist_Fu or nF == 0) else 3.0 * nF * nU
+    c["eq_jacobian"] = 0.0 if (hoist_Gu or nG == 0) else 3.0 * nG * nU
+    # KKT assembly
+    if small and nF:
+        c["kkt_assembly"] = 2.0 * nF * nU * nU + 2.0 * nF * nU  # Fu' LPG
+    else:
+        c["kkt_assembly"] = float(nK * nK)  # concats/scaling
+    # factorization + substitutions, by backend
+    plan = getattr(solver, "kkt_plan", None)
+    backend = opts.kkt_backend
+    n_rhs = 1 + (0 if opts.skipAffine else 1)
+    n_solve32 = n_rhs * (1 + opts.kkt_refine)
+    if plan is not None and getattr(plan, "bandwidth", None) and backend in (
+        "fleet_banded", "tridiag", "cyclic", "spike", "auto",
+    ):
+        w = plan.bandwidth
+        c["factorization"] = 2.0 * nK * w * (w + 1)
+        c["substitutions"] = n_solve32 * 4.0 * nK * w
+    else:
+        c["factorization"] = 2.0 * nK**3 / 3.0
+        c["substitutions"] = n_solve32 * 2.0 * nK * nK
+    c["refinement_matvecs"] = n_rhs * opts.kkt_refine * 2.0 * nK * nK
+    c["direction_error"] = 2.0 * nK * nK
+    # batched line search: 2*(K+2) evaluations of F(u + a dU)
+    if nF:
+        c["line_search"] = 2.0 * (opts.linesearch_points + 2) * (
+            3.0 * nF + nU
+        )
+    else:
+        c["line_search"] = 0.0
+    c["exit_tests"] = 2.0 * (nU + nF + nG)
+    c["total_per_iteration"] = float(sum(c.values()))
+    c["kkt_size"] = float(nK)
+    return c
+
+
+def xla_cost(solver, parameters: Mapping[str, Any],
+             init: Optional[Mapping[str, Any]] = None,
+             mu0: float = 1.0) -> Dict[str, float]:
+    """XLA's cost analysis of the fully compiled solve (whole program:
+    all iterations up to maxIter, hoisted prologue, epilogue)."""
+    dt = solver.opts.np_dtype
+    penv = solver._param_env(parameters)
+    u0 = solver._pack_init(init)
+    lowered = jax.jit(solver._solve_raw).lower(
+        u0, penv, jnp.asarray(mu0, dt), solver.opts.maxIter,
+        jnp.asarray(1e-9, dt), jnp.asarray(1e-9, dt),
+    )
+    cost = lowered.compile().cost_analysis()
+    if isinstance(cost, (list, tuple)):
+        cost = cost[0] if cost else {}
+    out = {}
+    for k in ("flops", "bytes accessed", "transcendentals"):
+        if cost and k in cost:
+            out[k.replace(" ", "_")] = float(cost[k])
+    return out
+
+
+# ---------------------------------------------------------------------------
+# measured per-phase timers
+# ---------------------------------------------------------------------------
+
+def _loop_time(fn, args, iters: int = 20, reps: int = 2) -> float:
+    """Steady-state seconds per call of fn measured as an on-device
+    fori_loop of `iters` dependent invocations (amortizes the runtime's
+    per-dispatch latency, which on a relayed TPU is ~tens of ms)."""
+
+    @jax.jit
+    def run(a):
+        def step(k, carry):
+            out = fn(*carry)
+            # fold the output back in so XLA cannot hoist the body
+            first = jax.tree.leaves(out)[0]
+            bump = (jnp.sum(first) * 1e-30).astype(carry[0].dtype)
+            return (carry[0] + bump,) + carry[1:]
+
+        return lax.fori_loop(0, iters, step, a)[0]
+
+    out = run(args)
+    _ = float(jnp.sum(out.astype(jnp.float32)))  # sync (host fetch)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = run(args)
+        _ = float(jnp.sum(out.astype(jnp.float32)))
+    return (time.perf_counter() - t0) / reps / iters
+
+
+def phase_times(solver, parameters: Mapping[str, Any],
+                init: Optional[Mapping[str, Any]] = None,
+                mu: float = 1e-1, iters: int = 20) -> Dict[str, float]:
+    """Measured seconds per phase (single instance; vmap externally for
+    batched numbers): KKT assembly, factorization+solve, constraint
+    sweep (line-search analog), exit-test gradient."""
+    dt = solver.opts.np_dtype
+    penv = solver._param_env(parameters)
+    u0 = solver._pack_init(init)
+    nF, nG = solver.nF, solver.nG
+    lam = jnp.ones((nF,), dt)
+    nu = jnp.zeros((nG,), dt)
+    fns = solver._fns
+    aw = solver._solve_raw._assemble_ww
+
+    times: Dict[str, float] = {}
+
+    def asm(u):
+        a = aw(u, nu, lam, jnp.asarray(mu, dt), jnp.asarray(1e-9, dt),
+               jnp.asarray(1e-9, dt), penv, jnp.ones((nF,), dt),
+               jnp.ones((), dt))
+        return (a["WW"],)
+
+    times["assemble_ww"] = _loop_time(lambda u: asm(u)[0][:, 0], (u0,), iters)
+
+    WW = asm(u0)[0]
+
+    from .kkt.dense import lu_solve_mixed
+
+    def facsolve(W):
+        return lu_solve_mixed(W, W[:, 0])
+
+    times["factor_plus_solve"] = _loop_time(
+        lambda W: facsolve(W), (WW,), iters
+    )
+
+    if nF:
+        def sweep(u):
+            cands = jnp.linspace(0.01, 1.0, 2 * (solver.opts.linesearch_points + 2))
+            du = 0.01 * jnp.ones_like(u)
+            return jax.vmap(lambda a: jnp.min(fns.F(u + a * du, penv)))(cands)
+
+        times["line_search_sweep"] = _loop_time(
+            lambda u: sweep(u), (u0,), iters
+        )
+
+    def exit_grad(u):
+        def lagr(uu):
+            val = fns.f(uu, penv)
+            if nF:
+                val = val - lam @ fns.F(uu, penv)
+            if nG:
+                val = val + nu @ fns.G(uu, penv)
+            return val
+
+        return jax.grad(lagr)(u)
+
+    times["exit_tests_grad"] = _loop_time(
+        lambda u: exit_grad(u), (u0,), iters
+    )
+    times["iteration_estimate"] = sum(times.values())
+    return times
+
+
+def print_profile(solver, parameters=None, init=None, file=None,
+                  measure: bool = False) -> Dict[str, Any]:
+    """profilingView-style report (lib/@csparse/writeCprofiling.c):
+    analytic flop counters per phase, plus measured per-phase times when
+    ``measure=True`` (requires parameter values)."""
+    import sys
+
+    file = file or sys.stdout
+    counts = flop_counts(solver)
+    print("=== tenscalc_tpu profile (per IPM iteration) ===", file=file)
+    print(f"KKT size: {int(counts['kkt_size'])}   backend: "
+          f"{solver.opts.kkt_backend}", file=file)
+    print(f"{'phase':24s}{'flops':>14s}", file=file)
+    for k, v in counts.items():
+        if k in ("total_per_iteration", "kkt_size"):
+            continue
+        print(f"{k:24s}{v:14.3e}", file=file)
+    print(f"{'TOTAL':24s}{counts['total_per_iteration']:14.3e}", file=file)
+    report: Dict[str, Any] = {"flops": counts}
+    if measure:
+        if parameters is None:
+            raise ValueError("measure=True needs parameter values")
+        times = phase_times(solver, parameters, init)
+        print(f"\n{'phase':24s}{'us/call':>12s}", file=file)
+        for k, v in times.items():
+            print(f"{k:24s}{v * 1e6:12.1f}", file=file)
+        report["times_s"] = times
+    return report

@@ -171,3 +171,41 @@ def test_cg_export(tmp_path, rng):
     assert "dot_general" in saved["primitive_counts"] or "pjit" in saved["primitive_counts"]
     txt = (tmp_path / "qp.jaxpr.txt").read_text()
     assert "while" in txt
+
+
+def test_capture_ww_localizes_misscaled_variable():
+    """allowSave/saveIter post-mortem (saveWW__ analog,
+    lib/ipmPD_CS.m:511-515): capture the KKT matrix at the iterate with
+    the worst direction error of an actual solve, and localize a
+    deliberately mis-scaled variable from the per-variable report."""
+    n = 4
+    good = tc.variable("cw_good", (n,))
+    bad = tc.variable("cw_bad", (n,))   # lives on a 1e6-worse scale
+    pvar = tc.variable("cw_p", (n,))
+    J = tc.norm2(good - pvar) + 1e10 * tc.norm2(bad) + tc.norm2(
+        good - 1e4 * bad
+    )
+    solver = tc.optimize(
+        objective=J,
+        optimizationVariables=[good, bad],
+        constraints=[good >= -2.0, good <= 2.0],
+        parameters=[pvar],
+        allowSave=True,
+        profiling=True,
+        maxIter=40,
+    )
+    params = {"cw_p": np.array([0.5, -0.25, 1.0, 0.1])}
+    cap = solver.capture_ww(params, mu0=1.0)
+    assert cap["it"] >= 1
+    assert cap["WW"].shape[0] == solver.nU + solver.nG + solver.nF
+    rep = cap["report"]["variables"]
+    # the mis-scaled variable's Hessian diagonal dwarfs the healthy one
+    assert (
+        rep["cw_bad"]["hess_diag_range"][1]
+        > 1e6 * rep["cw_good"]["hess_diag_range"][1]
+    )
+    assert any("rescal" in a for a in cap["report"]["advice"])
+    # explicit-iterate capture matches the solver state at that iterate
+    cap2 = solver.capture_ww(params, it=2, mu0=1.0)
+    assert cap2["it"] == 2
+    assert cap2["state"]["mu"] > 0
