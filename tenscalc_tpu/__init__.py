@@ -91,6 +91,7 @@ from .apps.mpcmhe import Mpcmhe
 from .apps.lasso import Lasso
 from .apps.nlss import NLSS
 from .apps.sysid import Sysid, ParameterSpec
+from .introspect import spy, sparsity, op_tree
 
 __version__ = "0.1.0"
 
@@ -167,4 +168,7 @@ __all__ = [
     "NLSS",
     "Sysid",
     "ParameterSpec",
+    "spy",
+    "sparsity",
+    "op_tree",
 ]

