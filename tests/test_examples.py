@@ -271,3 +271,14 @@ def test_mpcmhe_unicycle_pursuit():
     assert (np.abs(hist["u"]) <= 1.5 + 1e-6).all()
     # pursuer gains on the evader once the measurement window fills
     assert hist["dist"][-1] < 0.75 * hist["dist"][L], hist["dist"]
+
+
+def test_tutorial_fim():
+    """Batched Fisher-information accumulation matches the per-sample
+    jax oracle (examples/csparse/tutorialFIM.m:18-24,57-64)."""
+    from examples import tutorial_fim
+
+    FIM = tutorial_fim.main(S=2000, seed=1)
+    # information matrix of a sum of PSD terms is PSD
+    w = np.linalg.eigvalsh(FIM)
+    assert w.min() >= -1e-6 * max(abs(w).max(), 1.0)
