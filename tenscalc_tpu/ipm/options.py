@@ -78,6 +78,15 @@ class SolverOptions:
     # (replaces the reference's sequential backtracking get/set loop,
     # lib/ipmPD_CSsolver.c:690-756)
     linesearch_points: int = 32
+    # when True AND dF/du is iteration-invariant (affine F), the line
+    # search evaluates min F(u + a dU) = min(F + a Fu dU) as one
+    # broadcast instead of linesearch_points constraint evaluations.
+    # Mathematically exact for affine F, but the different rounding
+    # perturbs the iterate trajectory (same tolerance ball, different
+    # point) — off by default to match the reference's exact-F
+    # evaluation (lib/ipmPD_CSsolver.c:690-756); the flagship bench
+    # enables it.
+    linesearch_affine_F: bool = False
 
     # -- diagnostics ---------------------------------------------------
     verboseLevel: int = 0

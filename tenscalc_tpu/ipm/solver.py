@@ -473,13 +473,42 @@ def build_ipm(
             b0 = jnp.concatenate(
                 [(Fu0.T @ lam0 if nF > 0 else 0.0) - f_u0, jnp.zeros((nG,), dt)]
             )
-            if kkt_solver is not None and small:
-                # WW0's sparsity ([I, Gu'; Gu, -eps I]) is contained in
-                # the condensed KKT pattern the structured backend was
-                # planned for, so the same (banded/fleet) factorization
-                # applies — XLA's batched dense LU here costs ~100 ms at
-                # B=1024 and would dominate the whole solve prologue.
-                nu0 = kkt_solver(WW0).solve(b0)[nU:]
+            if kkt_solver is not None and opts.kkt_backend in (
+                "fleet", "fleet_banded"
+            ):
+                # fleet bench path: eliminating x from
+                # [I, Gu'; Gu, -eps I][x; nu] = [b; 0] gives the SPD
+                # normal equations (Gu Gu' + eps I) nu = Gu b, solved by
+                # fixed-iteration CG — pure XLA vector ops.  The dense
+                # batched LU here costs ~100 ms at B=1024 (XLA batched
+                # small-matrix linalg is uniformly slow on TPU), and
+                # adding a second Mosaic-kernel call site in the
+                # prologue hangs the remote Mosaic compiler; nu0 is only
+                # an initializer so modest CG accuracy is enough
+                # (ipmPD_CStimesLambda.m:212-217 solves the same
+                # regularized LS).
+                btop = b0[:nU]
+                rhs0 = Gu0 @ btop
+                eps0 = jnp.maximum(addEq0, jnp.asarray(1e-8, dt))
+
+                def Aop(v):
+                    return Gu0 @ (Gu0.T @ v) + eps0 * v
+
+                def cg_body(_, carry):
+                    x, r, p, rs = carry
+                    Ap = Aop(p)
+                    alpha = rs / jnp.maximum(p @ Ap, jnp.asarray(1e-30, dt))
+                    x = x + alpha * p
+                    r = r - alpha * Ap
+                    rs_new = r @ r
+                    beta = rs_new / jnp.maximum(rs, jnp.asarray(1e-30, dt))
+                    return (x, r, p * beta + r, rs_new)
+
+                x0c = jnp.zeros((nG,), dt)
+                n_cg = min(2 * nG, 100)
+                nu0, *_ = lax.fori_loop(
+                    0, n_cg, cg_body, (x0c, rhs0, rhs0, rhs0 @ rhs0)
+                )
             else:
                 from ..kkt.dense import lu_solve_mixed
 
@@ -723,7 +752,7 @@ def build_ipm(
             # 2*(K+2) constraint-function evaluations (the reference's
             # reactive groups get the same effect from linear F rows
             # costing one I_sumprod each).
-            F_affine = hoist_Fu and nF > 0
+            F_affine = hoist_Fu and nF > 0 and opts.linesearch_affine_F
             FdU = Fu @ dU if nF > 0 else None
 
             if F_affine:

@@ -135,3 +135,41 @@ def test_ipm_fleet_backend_end_to_end(rng):
     assert (np.asarray(rf.status) == 0).all()
     assert (np.asarray(rd.status) == 0).all()
     np.testing.assert_allclose(np.asarray(rf.u), np.asarray(rd.u), atol=5e-3)
+
+
+def test_flagship_bench_config_batched():
+    """Regression: the exact flagship bench configuration (condensed
+    Newton + fleet_banded backend, f32) solves a batched mpc_dcmotor
+    fleet on CPU — covers the structured nu-init path that reuses the
+    planned banded factorization in the solve prologue."""
+    import numpy as np
+
+    from examples import mpc_dcmotor
+    from tenscalc_tpu.parallel import solve_batched
+
+    T, B, ns = 30, 8, "flagcfg_"
+    solver = mpc_dcmotor.build_solver(
+        T=T, namespace=ns, dtype="float32", variant="standard",
+        smallerNewtonMatrix=True, kkt_backend="fleet_banded",
+    )
+    base = mpc_dcmotor.default_params(T, ns)
+    rng = np.random.default_rng(0)
+    bp = {
+        k: np.broadcast_to(np.asarray(v, float), (B,) + np.asarray(v, float).shape).copy()
+        for k, v in base.items()
+    }
+    bp[ns + "ref"] = np.stack(
+        [
+            mpc_dcmotor.reference_signal(t0 + np.arange(T) * base[ns + "Ts"])[None, :]
+            for t0 in np.linspace(0, 6, B)
+        ]
+    )
+    bp[ns + "xinit"] = rng.uniform(-0.15, 0.15, (B, 2, 1))
+    bi = {
+        ns + "x": bp[ns + "xinit"] + 0.01 * rng.random((B, 2, T)),
+        ns + "u": 0.01 * rng.random((B, 1, T - 1)),
+    }
+    res = solve_batched(solver, bp, inits=bi, mu0=1e-3, max_iter=100)
+    st = np.asarray(res.status)
+    assert (st == 0).all(), st.tolist()
+    assert int(np.asarray(res.iters).max()) <= 40
