@@ -319,9 +319,10 @@ class FleetBandedFactorization:
 
     Pipeline per factorization, all vmap-compatible:
 
-    1. symmetric permutation to banded form via the build-time RCM plan
-       (one fused gather extracts the band directly — the (n,n) matrix
-       is never materialized in permuted order);
+    1. symmetric permutation to banded form via the build-time RCM plan:
+       one-hot permutation matmuls (MXU) + a stride-trick reshape that
+       peels the w+1 sub-diagonals (batched 2-D gathers of the dense WW
+       measured ~26 ms/iter at B=1024 — 88% of the IPM iteration);
     2. Jacobi equilibration s = 1/sqrt(|diag|) (compresses the pivot
        dynamic range so the unpivoted f32 elimination stays accurate);
     3. fleet banded LDL (Pallas, batch in lanes);
@@ -337,21 +338,37 @@ class FleetBandedFactorization:
         n, w = plan.n, plan.bandwidth
         self.w = w
         perm = np.asarray(plan.perm)
-        # band gather indices: band[c, i] = Wp[c+i, c] = WW[perm[c+i], perm[c]]
-        c = np.arange(n)[:, None]
-        i = np.arange(w + 1)[None, :]
-        rows = perm[np.minimum(c + i, n - 1)]
-        cols = np.broadcast_to(perm[c], (n, w + 1))
-        mask = (c + i) < n
+        # band[c, i] = Wp[c+i, c] = WW[perm[c+i], perm[c]].  A direct 2-D
+        # gather here costs ~26 ms/iter at B=1024 (88% of the whole IPM
+        # iteration: batched random-access reads of the 91 MB WW tensor).
+        # Instead: (1) permute with one-hot matmuls on the MXU (exact for
+        # 0/1 operands), (2) extract the w+1 sub-diagonals with the
+        # pad/flatten/reshape stride trick — pure layout ops:
+        #   Y = pad(Wp^T, w zero cols)            (n, n+w)
+        #   reshape(concat([Y.ravel(), zeros(n)]), (n, n+w+1))[c, j]
+        #     = Y[c, c+j] = Wp[c+j, c]            for c+j < n, else 0
         W32 = WW.astype(jnp.float32)
-        band = W32[rows, cols] * jnp.asarray(mask, jnp.float32)
+        P = jnp.asarray(
+            np.eye(n, dtype=np.float32)[perm]
+        )  # P[a, perm[a]] = 1
+        Wp = P @ (W32 @ P.T)  # Wp[a, b] = WW[perm[a], perm[b]]
+        WpT = Wp.T  # == P WW^T P^T; equals Wp for symmetric WW, and the
+        # band consumes exactly the lower triangle of Wp either way
+        Y = jnp.concatenate([WpT, jnp.zeros((n, w), jnp.float32)], axis=1)
+        flat = jnp.concatenate([Y.reshape(-1), jnp.zeros((n,), jnp.float32)])
+        band = flat.reshape(n, n + w + 1)[:, : w + 1]
         # Jacobi equilibration on the permuted diagonal
         diag = band[:, 0]
         s = lax.rsqrt(jnp.maximum(jnp.abs(diag), 1e-30))
         self.s = s
-        # band_scaled[c, i] = s[c+i] * Wp[c+i, c] * s[c] (band is already
-        # masked past n, so the clipped s-gather is harmless)
-        band = band * s[:, None] * s[np.minimum(c + i, n - 1)]
+        # s_shift[c, i] = s[c+i] via w+1 static slices of padded s
+        s_pad = jnp.concatenate([s, jnp.zeros((w,), jnp.float32)])
+        s_shift = jnp.stack(
+            [lax.dynamic_slice_in_dim(s_pad, i, n) for i in range(w + 1)],
+            axis=1,
+        )
+        # band_scaled[c, i] = s[c+i] * Wp[c+i, c] * s[c]
+        band = band * s[:, None] * s_shift
         factor_fn, solve_fn = _wrappers(w, clamp)
         self.fband = factor_fn(band)
         self._solve_fn = solve_fn
