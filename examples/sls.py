@@ -43,9 +43,11 @@ def build_slack(N=400, n=32, ns="slsv_", **options):
     )
 
 
-def build_constrained(N=400, n=32, bound=0.01, ns="slsc_", **options):
-    """min ||Ax-b||^2/N s.t. -bound <= x <= bound — the reference's
-    timed benchmark formulation."""
+def build_constrained(N=400, n=32, lo=0.0, hi=0.05, ns="slsc_", **options):
+    """min ||Ax-b||^2/N s.t. lo <= x <= hi — the reference's timed
+    benchmark formulation with its exact bounds 0 <= x <= .05
+    (sls.m:134; the README's ~850 us "last optimization in sls" is the
+    second, warm, call to this solver, sls.m:163-164)."""
     A = tc.variable(ns + "A", (N, n))
     b = tc.variable(ns + "b", (N,))
     x = tc.variable(ns + "x", (n,))
@@ -53,7 +55,7 @@ def build_constrained(N=400, n=32, bound=0.01, ns="slsc_", **options):
     return tc.optimize(
         objective=J,
         optimizationVariables=[x],
-        constraints=[x >= -bound, x <= bound],
+        constraints=[x >= lo, x <= hi],
         parameters=[A, b],
         outputExpressions={"J": J, "x": x},
         **options,

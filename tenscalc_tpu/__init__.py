@@ -85,7 +85,7 @@ from .ops.tseries import (
 )
 from .ipm.options import SolverOptions
 from .ipm.status import SolverStatus, describe_status
-from .api import optimize, minmax, equilibrium, compute
+from .api import optimize, minmax, equilibrium, compute, compute_object
 from .apps.mpc import Mpc
 from .apps.mpcmhe import Mpcmhe
 from .apps.lasso import Lasso
@@ -162,6 +162,7 @@ __all__ = [
     "minmax",
     "equilibrium",
     "compute",
+    "compute_object",
     "Mpc",
     "Mpcmhe",
     "Lasso",

@@ -35,6 +35,24 @@ def _ensure_x64(opts: SolverOptions) -> None:
         jax.config.update("jax_enable_x64", True)
 
 
+def _prefer_fleet() -> bool:
+    """Whether kkt_backend='auto' should select the batch-in-lanes
+    Pallas fleet kernels.  True on real TPU hardware (where XLA's
+    batched small-matrix linalg is uniformly slow — CLAUDE.md round-2
+    findings); on CPU the kernels would run in interpret mode, so auto
+    picks the pure-XLA structured paths instead.  Overridable for tests
+    via TENSCALC_AUTO_FLEET=1/0."""
+    import os
+
+    env = os.environ.get("TENSCALC_AUTO_FLEET")
+    if env in ("0", "1"):
+        return env == "1"
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
 def _split_constraints(constraints) -> tuple[list[Expr], list[Expr]]:
     """Split into (F >= 0 list, G == 0 list)
     (reference: lib/private/parseConstraints.m:74-135)."""
@@ -108,7 +126,11 @@ class OptimizeSolver:
         kkt_mesh=None,
         **option_kwargs,
     ):
-        self.opts = (options or SolverOptions()).replace(**option_kwargs)
+        self.opts = (
+            (options or SolverOptions())
+            .replace(**option_kwargs)
+            .resolved("optimize")
+        )
         _ensure_x64(self.opts)
         dt = self.opts.np_dtype
         self.kkt_mesh = kkt_mesh
@@ -164,17 +186,17 @@ class OptimizeSolver:
             hoist=self._hoist,
         )
         self.kkt_plan = None
+        self.kkt_backend_resolved = "dense"
         if self.opts.kkt_backend == "ldl":
             from .kkt.dense import kkt_factorize
 
             blk = self.opts.ldl_block
-            self._solve_raw = build_ipm(
-                self._fns, self.nU, self.nF, self.nG, self.opts,
-                hoist=self._hoist,
-                kkt_solver=lambda WW: kkt_factorize(
+            self._install_backend(
+                lambda WW: kkt_factorize(
                     WW, need_inertia=self.opts.useInertia, block=blk,
                     force_ldl=True,
                 ),
+                "ldl",
             )
         elif self.opts.kkt_backend == "pallas":
             from .kkt.pallas_ldl import pallas_kkt_factorize
@@ -183,44 +205,49 @@ class OptimizeSolver:
             # pivot clamping (Cheng-Higham) keeps the f32 kernel from
             # collapsing on IPM endgame KKT matrices (same setting as the
             # 'ldl' backend in kkt/dense.py)
-            self._solve_raw = build_ipm(
-                self._fns, self.nU, self.nF, self.nG, self.opts,
-                hoist=self._hoist,
-                kkt_solver=lambda WW: pallas_kkt_factorize(
+            self._install_backend(
+                lambda WW: pallas_kkt_factorize(
                     WW, interpret=interp, clamp=1e-7
                 ),
+                "pallas",
             )
         elif self.opts.kkt_backend == "fleet":
-            # batch-in-lanes Pallas LDL: per-instance semantics here, the
-            # fleet kernel engages under vmap (parallel/batch.py fleets)
-            from .kkt.fleet import fleet_kkt_factorize
-
-            self._solve_raw = build_ipm(
-                self._fns, self.nU, self.nF, self.nG, self.opts,
-                hoist=self._hoist,
-                kkt_solver=lambda WW: fleet_kkt_factorize(
-                    WW, n_refine=self.opts.kkt_refine
-                ),
-            )
+            self._use_fleet_dense()
         elif self.opts.kkt_backend in (
             "auto", "tridiag", "cyclic", "spike", "fleet_banded",
         ):
             self._plan_structure()
         self._solve_jit = jax.jit(self._solve_raw)
 
+    def _install_backend(self, kkt_solver, name: str) -> None:
+        """Rebuild the solve function with a structured KKT backend.
+        ``fleet_init`` enables the CG nu-initializer on fleet backends
+        (avoids a second Mosaic call site / slow XLA batched LU in the
+        prologue — see build_ipm)."""
+        self.kkt_backend_resolved = name
+        self._solve_raw = build_ipm(
+            self._fns, self.nU, self.nF, self.nG, self.opts,
+            hoist=self._hoist,
+            kkt_solver=kkt_solver,
+            fleet_init=name in ("fleet", "fleet_banded"),
+        )
+
     def _plan_structure(self) -> None:
-        """Probe the KKT sparsity pattern and, when block-banded structure
-        is worthwhile (MPC horizons), switch the factorization backend to
-        the block-tridiagonal elimination (kkt/tridiag.py).  The analog
-        of the reference's fill-reducing ordering over an instantiated
-        pattern (lib/@csparse/sparsity_ldl.m:40-62)."""
+        """Probe the KKT sparsity pattern and pick the factorization
+        backend: the batch-in-lanes banded fleet kernel on TPU (or the
+        pure-XLA block-tridiagonal elimination on CPU) when block-banded
+        structure is worthwhile (MPC horizons), arrow when a few global
+        variables couple all stages, dense otherwise.  The analog of the
+        reference's fill-reducing ordering over an instantiated pattern
+        (lib/@csparse/sparsity_ldl.m:40-62)."""
         from .kkt.structure import plan_banded, probe_pattern
         from .kkt.tridiag import tridiag_factorize
 
         dt = self.opts.np_dtype
+        auto_fleet = self.opts.kkt_backend == "auto" and _prefer_fleet()
         nK = self.nU + self.nG + (0 if self.opts.smallerNewtonMatrix else self.nF)
         if nK < 64:  # too small for a structured path to matter
-            if self.opts.kkt_backend == "fleet_banded":
+            if self.opts.kkt_backend == "fleet_banded" or auto_fleet:
                 self._use_fleet_dense()
             return
 
@@ -254,11 +281,11 @@ class OptimizeSolver:
         except Exception:
             if self.opts.kkt_backend == "tridiag":
                 raise
-            if self.opts.kkt_backend == "fleet_banded":
+            if self.opts.kkt_backend == "fleet_banded" or auto_fleet:
                 self._use_fleet_dense()
             return  # structure probing is best-effort under 'auto'
         plan = plan_banded(pattern)
-        if self.opts.kkt_backend == "fleet_banded":
+        if self.opts.kkt_backend == "fleet_banded" or auto_fleet:
             # batch-in-lanes banded Pallas LDL over the RCM band
             # (kkt/fleet_banded.py); dense fleet when no band structure
             if not plan.worthwhile:
@@ -267,12 +294,12 @@ class OptimizeSolver:
             from .kkt.fleet_banded import fleet_banded_kkt_factorize
 
             self.kkt_plan = plan
-            self._solve_raw = build_ipm(
-                self._fns, self.nU, self.nF, self.nG, self.opts,
-                hoist=self._hoist,
-                kkt_solver=lambda WW: fleet_banded_kkt_factorize(
-                    WW, plan, n_refine=self.opts.kkt_refine
+            n_ref = self.opts.refine_for("fleet_banded")
+            self._install_backend(
+                lambda WW: fleet_banded_kkt_factorize(
+                    WW, plan, n_refine=n_ref
                 ),
+                "fleet_banded",
             )
             return
         if (
@@ -286,10 +313,8 @@ class OptimizeSolver:
             aplan = plan_arrow(pattern)
             if aplan is not None and aplan.worthwhile:
                 self.kkt_plan = aplan
-                self._solve_raw = build_ipm(
-                    self._fns, self.nU, self.nF, self.nG, self.opts,
-                    hoist=self._hoist,
-                    kkt_solver=lambda WW: ArrowFactorization(WW, aplan),
+                self._install_backend(
+                    lambda WW: ArrowFactorization(WW, aplan), "arrow"
                 )
                 return
         if self.opts.kkt_backend == "spike":
@@ -304,12 +329,9 @@ class OptimizeSolver:
             if axis not in mesh.axis_names:
                 axis = mesh.axis_names[0]
             self.kkt_plan = plan
-            self._solve_raw = build_ipm(
-                self._fns, self.nU, self.nF, self.nG, self.opts,
-                hoist=self._hoist,
-                kkt_solver=lambda WW: SpikeFactorization(
-                    WW, plan, mesh, axis=axis
-                ),
+            self._install_backend(
+                lambda WW: SpikeFactorization(WW, plan, mesh, axis=axis),
+                "spike",
             )
             return
         if not plan.worthwhile and self.opts.kkt_backend not in ("tridiag", "cyclic"):
@@ -318,26 +340,23 @@ class OptimizeSolver:
         if self.opts.kkt_backend == "cyclic":
             from .kkt.cyclic import CyclicFactorization
 
-            kkt_solver = lambda WW: CyclicFactorization(WW, plan)
+            self._install_backend(
+                lambda WW: CyclicFactorization(WW, plan), "cyclic"
+            )
         else:
-            kkt_solver = lambda WW: tridiag_factorize(WW, plan)
-        self._solve_raw = build_ipm(
-            self._fns, self.nU, self.nF, self.nG, self.opts,
-            hoist=self._hoist,
-            kkt_solver=kkt_solver,
-        )
+            self._install_backend(
+                lambda WW: tridiag_factorize(WW, plan), "tridiag"
+            )
 
     def _use_fleet_dense(self) -> None:
-        """Fallback for 'fleet_banded' problems without band structure:
-        the dense batch-in-lanes fleet kernel (kkt/fleet.py)."""
+        """Dense batch-in-lanes fleet kernel (kkt/fleet.py) — for fleet
+        problems without band structure, and for small problems under
+        'auto' on TPU."""
         from .kkt.fleet import fleet_kkt_factorize
 
-        self._solve_raw = build_ipm(
-            self._fns, self.nU, self.nF, self.nG, self.opts,
-            hoist=self._hoist,
-            kkt_solver=lambda WW: fleet_kkt_factorize(
-                WW, n_refine=self.opts.kkt_refine
-            ),
+        n_ref = self.opts.refine_for("fleet")
+        self._install_backend(
+            lambda WW: fleet_kkt_factorize(WW, n_refine=n_ref), "fleet"
         )
 
     # -- parameter/init handling --------------------------------------
@@ -666,3 +685,137 @@ class ComputeFunction:
 
 def compute(inputs: Sequence[Variable], outputs: Mapping[str, Expr]) -> ComputeFunction:
     return ComputeFunction(inputs, outputs)
+
+
+class ComputeObject:
+    """Stateful compiled compute object — the full csparse declare API:
+    ``declareSet`` -> :meth:`set`, ``declareGet`` -> :meth:`get`,
+    ``declareCopy`` -> :meth:`copy` (lib/@csparse/csparse.m:296,345,406).
+
+    The reference's generated classes keep all values in a persistent
+    scratchbook between calls; here inputs and state variables live as
+    device arrays on the object, every named get/copy is one jitted
+    function over that environment, and ``copy`` updates are ATOMIC
+    (all right-hand sides are evaluated before any state variable is
+    assigned — exactly declareCopy's multi-assign semantics).
+
+    This is the online-retraining pattern of the extended tutorials
+    (tutorialNN1.m / tutorialNNextended.m: resetGradient /
+    updateGradient / updateParameters copies driving an SGD loop).
+
+    Parameters
+    ----------
+    inputs : set-able variables (parameters / streaming data).
+    outputs : name -> Expr or dict of Exprs (named get groups).
+    state : mapping ``Variable -> initial value`` (persist across calls).
+    updates : name -> mapping ``Variable -> Expr``: named copy ops; each
+        target must be a declared state variable.
+    """
+
+    def __init__(
+        self,
+        inputs: Sequence[Variable],
+        outputs: Mapping[str, Any],
+        state: Optional[Mapping[Variable, Any]] = None,
+        updates: Optional[Mapping[str, Mapping[Variable, Expr]]] = None,
+    ):
+        self.inputs = list(inputs)
+        self.state_vars = list((state or {}).keys())
+        self._names = [v.name for v in self.inputs]
+        state_names = {v.name for v in self.state_vars}
+        self.outputs = dict(outputs)
+        self.updates = {
+            name: {v.name: e for v, e in upd.items()}
+            for name, upd in (updates or {}).items()
+        }
+        for name, upd in self.updates.items():
+            bad = set(upd) - state_names
+            if bad:
+                raise ValueError(
+                    f"copy {name!r} targets non-state variables {sorted(bad)}"
+                )
+
+        self._values: Dict[str, Any] = {}
+        for v, init in (state or {}).items():
+            arr = jnp.asarray(init)
+            if tuple(arr.shape) != v.shape:
+                arr = jnp.broadcast_to(arr, v.shape)
+            self._values[v.name] = arr
+
+        def _eval_group(group, env):
+            if isinstance(group, Expr):
+                return group(env)
+            if isinstance(group, Mapping):
+                return {k: _eval_group(g, env) for k, g in group.items()}
+            return [_eval_group(g, env) for g in group]
+
+        def _group_deps(group):
+            if isinstance(group, Expr):
+                return set(group.deps)
+            if isinstance(group, Mapping):
+                groups = group.values()
+            else:
+                groups = group
+            out = set()
+            for g in groups:
+                out |= _group_deps(g)
+            return out
+
+        # each get/copy only requires the variables its expressions
+        # actually read (the reference's reactive dependency groups
+        # likewise only pull the groups a get depends on)
+        self._get_jits = {
+            name: (
+                jax.jit(lambda env, g=group: _eval_group(g, env)),
+                frozenset(_group_deps(group)),
+            )
+            for name, group in self.outputs.items()
+        }
+        self._copy_jits = {
+            name: (
+                jax.jit(lambda env, u=upd: {k: e(env) for k, e in u.items()}),
+                frozenset().union(*(e.deps for e in upd.values()))
+                if upd else frozenset(),
+            )
+            for name, upd in self.updates.items()
+        }
+
+    def set(self, name: str, value) -> None:
+        """Load an input or state variable (declareSet)."""
+        if name not in self._names and name not in {
+            v.name for v in self.state_vars
+        }:
+            raise ValueError(f"unknown variable {name!r}")
+        self._values[name] = jnp.asarray(value)
+
+    def _env(self, needed: frozenset):
+        missing = needed - set(self._values)
+        if missing:
+            raise ValueError(f"inputs not set: {sorted(missing)}")
+        return {k: self._values[k] for k in needed}
+
+    def get(self, name: str):
+        """Evaluate a named output group at the current environment."""
+        fn, deps = self._get_jits[name]
+        return fn(self._env(deps))
+
+    def copy(self, name: str) -> None:
+        """Run a named atomic state update (declareCopy)."""
+        fn, deps = self._copy_jits[name]
+        new = fn(self._env(deps))
+        self._values.update(new)
+
+    def value(self, var) -> jax.Array:
+        """Current value of an input/state variable."""
+        name = var.name if isinstance(var, Variable) else var
+        return self._values[name]
+
+
+def compute_object(
+    inputs: Sequence[Variable],
+    outputs: Mapping[str, Any],
+    state: Optional[Mapping[Variable, Any]] = None,
+    updates: Optional[Mapping[str, Mapping[Variable, Expr]]] = None,
+) -> ComputeObject:
+    """Create a stateful compute object (csparse declareSet/Get/Copy)."""
+    return ComputeObject(inputs, outputs, state=state, updates=updates)

@@ -58,7 +58,9 @@ def sparsity(expr: Expr, var, n_probes: int = 2, seed: int = 0) -> np.ndarray:
             return expr.fn(e).reshape(-1)
 
         J = jax.jacfwd(flat)(env[vname].reshape(-1))
-        nz = np.asarray(jnp.abs(J) > 0)
+        # non-finite entries (e.g. a division whose denominator hits zero
+        # at the probe point) are genuinely dependent — count as nonzero
+        nz = np.asarray((jnp.abs(J) > 0) | ~jnp.isfinite(J))
         pat = nz if pat is None else (pat | nz)
     return pat
 

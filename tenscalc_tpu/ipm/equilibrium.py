@@ -70,7 +70,8 @@ class _EqFns(NamedTuple):
     H: Any
 
 
-def build_equilibrium_ipm(fns: _EqFns, dims, opts: SolverOptions):
+def build_equilibrium_ipm(fns: _EqFns, dims, opts: SolverOptions,
+                          kkt_solver=None):
     nUu, nD, nX, nFu, nFd, nGu, nGd, nH = dims
     dt = opts.np_dtype
     nZ = nUu + nD + nX
@@ -160,8 +161,11 @@ def build_equilibrium_ipm(fns: _EqFns, dims, opts: SolverOptions):
         ]
     ).astype(np.int32)
 
-    def compute_direction(z, nu, lam, mu, penv, sFu, sFd, sc,
-                          addE1, addE2, cached=None):
+    def assemble_ww(z, nu, lam, penv, sFu, sFd, sc, addE1, addE2,
+                    cached=None):
+        """KKT matrix + derivatives for the active branch (no solves).
+        Exposed as ``solve._assemble_ww`` for build-time structure
+        probing (kkt/structure.py) — same hook as build_ipm's."""
         Fu, Fd, Fall, Gall, Lf, Lg, stat = scaled_fns(penv, sFu, sFd, sc)
         if cached is not None:
             # (stat, Fall, Gall at this iterate) computed once by the
@@ -203,9 +207,59 @@ def build_equilibrium_ipm(fns: _EqFns, dims, opts: SolverOptions):
                 ],
                 axis=0,
             )
-            from ..kkt.dense import kkt_factorize as _kf
+            return dict(WW=WWs, sv=sv, Fv=Fv, Gv=Gv, Sl=Sl, Gz=Gz,
+                        Fz=Fz, LFF=LFF)
 
-            fac_s = _kf(WWs, need_inertia=False)
+        row1 = jnp.concatenate([Sz, Sn, Sl], axis=1)
+        row2 = jnp.concatenate(
+            [Gz, jnp.zeros((nGres, nNu + nF), dt)], axis=1
+        )
+        row3 = jnp.concatenate(
+            [Fz, jnp.zeros((nF, nNu), dt), jnp.diag(Fv / lam) if nF else jnp.zeros((0, 0), dt)],
+            axis=1,
+        )
+        WW = jnp.concatenate([row1, row2, row3], axis=0)
+        if opts.addEye2Hessian:
+            # recovery regularization for the large matrix: +addE1 on
+            # the primal diagonal, -addE2 on the dual diagonal.  The
+            # reference leaves its large branch unregularized (the
+            # commented-out WW+addEye2Hessian*Teye at
+            # ipmPDeqlat_CS.m:374 shows the intended device); without
+            # it an ill-conditioned game has no recovery path, so the
+            # same derr-gated adaptation as the condensed branch is
+            # applied here.
+            nKK = WW.shape[0]
+            shift = jnp.concatenate(
+                [
+                    addE1 * jnp.ones((nZ,), dt),
+                    -addE2 * jnp.ones((nNu,), dt),
+                    jnp.zeros((nKK - nZ - nNu,), dt),
+                ]
+            )
+            WW = WW + jnp.diag(shift)
+        return dict(WW=WW, sv=sv, Fv=Fv, Gv=Gv, Sl=Sl, Gz=Gz, Fz=Fz,
+                    LFF=None)
+
+    def _factor(WW):
+        if kkt_solver is not None:
+            return kkt_solver(WW)
+        # unsymmetric system -> pivoted LU (reference default
+        # useLDL=false); on TPU this runs as f32 LU + f64 iterative
+        # refinement
+        from ..kkt.dense import kkt_factorize
+
+        return kkt_factorize(WW, need_inertia=False)
+
+    def compute_direction(z, nu, lam, mu, penv, sFu, sFd, sc,
+                          addE1, addE2, cached=None):
+        a = assemble_ww(z, nu, lam, penv, sFu, sFd, sc, addE1, addE2,
+                        cached=cached)
+        sv, Fv, Gv = a["sv"], a["Fv"], a["Gv"]
+        Sl, Gz, Fz = a["Sl"], a["Gz"], a["Fz"]
+        _, _, Fall, _, _, _, _ = scaled_fns(penv, sFu, sFd, sc)
+        if opts.smallerNewtonMatrix and nF:
+            WWs, LFF = a["WW"], a["LFF"]
+            fac_s = _factor(WWs)
             muF = mu / Fv
             stat_ff = sv - Sl @ lam
             b_top = -stat_ff - Sl @ muF
@@ -259,38 +313,8 @@ def build_equilibrium_ipm(fns: _EqFns, dims, opts: SolverOptions):
             dx = jnp.concatenate([dxz, dLam])
             return dx, mu_new, derr, sv, Fz, Fv, Gv
 
-        row1 = jnp.concatenate([Sz, Sn, Sl], axis=1)
-        row2 = jnp.concatenate(
-            [Gz, jnp.zeros((nGres, nNu + nF), dt)], axis=1
-        )
-        row3 = jnp.concatenate(
-            [Fz, jnp.zeros((nF, nNu), dt), jnp.diag(Fv / lam) if nF else jnp.zeros((0, 0), dt)],
-            axis=1,
-        )
-        WW = jnp.concatenate([row1, row2, row3], axis=0)
-        if opts.addEye2Hessian:
-            # recovery regularization for the large matrix: +addE1 on
-            # the primal diagonal, -addE2 on the dual diagonal.  The
-            # reference leaves its large branch unregularized (the
-            # commented-out WW+addEye2Hessian*Teye at
-            # ipmPDeqlat_CS.m:374 shows the intended device); without
-            # it an ill-conditioned game has no recovery path, so the
-            # same derr-gated adaptation as the condensed branch is
-            # applied here.
-            nKK = WW.shape[0]
-            shift = jnp.concatenate(
-                [
-                    addE1 * jnp.ones((nZ,), dt),
-                    -addE2 * jnp.ones((nNu,), dt),
-                    jnp.zeros((nKK - nZ - nNu,), dt),
-                ]
-            )
-            WW = WW + jnp.diag(shift)
-        # unsymmetric system -> pivoted LU (reference default useLDL=false);
-        # on TPU this runs as f32 LU + f64 iterative refinement
-        from ..kkt.dense import kkt_factorize
-
-        fac = kkt_factorize(WW, need_inertia=False)
+        WW = a["WW"]
+        fac = _factor(WW)
 
         if opts.skipAffine or nF == 0:
             b = jnp.concatenate(
@@ -484,7 +508,9 @@ def build_equilibrium_ipm(fns: _EqFns, dims, opts: SolverOptions):
 
                 def adapt_cond(carry):
                     k, aE, res = carry
-                    bad = (res[2] >= MAX_DIRECTION_ERROR) & (aE < ADDE_MAX)
+                    # NaN-safe: a NaN direction error must count as bad, or a
+                    # blown-up factorization escapes the recovery loop
+                    bad = ~(res[2] < MAX_DIRECTION_ERROR) & (aE < ADDE_MAX)
                     return (k == 0) | (bad & (k <= MAX_ADAPT_STEPS))
 
                 def adapt_body(carry):
@@ -631,6 +657,7 @@ def build_equilibrium_ipm(fns: _EqFns, dims, opts: SolverOptions):
             addEq=final.addE2,
         )
 
+    solve._assemble_ww = assemble_ww  # exposed for structure probing
     return solve
 
 
@@ -658,8 +685,10 @@ class EquilibriumSolver:
         # 'variant' concerns the optimize solver only; force 'standard'
         # so timesLambda's option restrictions don't trip (e.g. the
         # Mehrotra path here with skipAffine=False)
-        self.opts = (options or SolverOptions()).replace(
-            **{"variant": "standard", **option_kwargs}
+        self.opts = (
+            (options or SolverOptions())
+            .replace(**{"variant": "standard", **option_kwargs})
+            .resolved("equilibrium")
         )
         _ensure_x64(self.opts)
         dt = self.opts.np_dtype
@@ -696,7 +725,7 @@ class EquilibriumSolver:
             int(sum(e.size for e in Gd_e)),
             int(sum(e.size for e in H_e)),
         )
-        self.dims = dims
+        self._ipm_dims = dims  # private: examples attach their own .dims
         nUu, nD, nX = dims[0], dims[1], dims[2]
         pu, pd, px = self.pack_u, self.pack_d, self.pack_x
 
@@ -730,9 +759,55 @@ class EquilibriumSolver:
             H=mk_stack(H_e),
         )
         self._solve_raw = build_equilibrium_ipm(self._fns, dims, self.opts)
+        # structured-KKT planning: the stacked two-player system is
+        # UNSYMMETRIC, so banded structure routes to the LU variants
+        # (kkt/banded_lu.py) — tridiag_lu on CPU, the batch-in-lanes
+        # banded LU fleet kernel on TPU
+        self.kkt_plan = None
+        self.kkt_backend_resolved = "dense"
+        if self.opts.kkt_backend != "dense":
+            from ..kkt.select import compute_banded_plan, select_game_backend
+
+            nUu, nD, nX, nFu, nFd, nGu, nGd, nH = dims
+            nK = (nUu + nD + 2 * nX) + (nGu + nGd + nH) + (nFu + nFd)
+
+            def plan_fn():
+                return compute_banded_plan(self._probe_assemble, nK)
+
+            kkt_solver, name, plan = select_game_backend(
+                self.opts, nK, plan_fn, symmetric=False
+            )
+            if kkt_solver is not None:
+                self.kkt_plan = plan
+                self.kkt_backend_resolved = name
+                self._solve_raw = build_equilibrium_ipm(
+                    self._fns, dims, self.opts, kkt_solver=kkt_solver
+                )
         self._solve_jit = jax.jit(self._solve_raw)
         self._Solution = Solution
         self._env_of = env_of
+
+    def _probe_assemble(self, trial: int):
+        """Random-iterate KKT assembly for the structure probe."""
+        dt = self.opts.np_dtype
+        nUu, nD, nX, nFu, nFd, nGu, nGd, nH = self._ipm_dims
+        nZ = nUu + nD + nX
+        nF = nFu + nFd
+        nNu = nGu + nH + nGd + nH
+        rng = np.random.default_rng(trial)
+        penv = {
+            p.name: jnp.asarray(rng.standard_normal(p.shape), dt)
+            for p in self.parameters
+        }
+        z = jnp.asarray(rng.standard_normal(nZ), dt)
+        lam = jnp.asarray(rng.uniform(0.5, 1.5, nF), dt)
+        nu = jnp.asarray(rng.standard_normal(nNu), dt)
+        a = self._solve_raw._assemble_ww(
+            z, nu, lam, penv,
+            jnp.ones((nFu,), dt), jnp.ones((nFd,), dt), jnp.ones((), dt),
+            jnp.asarray(1e-3, dt), jnp.asarray(1e-3, dt),
+        )
+        return a["WW"]
 
     def _param_env(self, parameters):
         parameters = dict(parameters or {})
@@ -779,9 +854,15 @@ class EquilibriumSolver:
             self.pack_u.names + self.pack_d.names + self.pack_x.names
         )
         z0 = jnp.concatenate([env[n] for n in names], axis=1)
-        fn = jax.jit(
-            jax.vmap(self._solve_raw, in_axes=(0, 0, None, None, None, None))
-        )
+        if not hasattr(self, "_solve_many_jit"):
+            # cache the jitted vmapped solve: a fresh jax.jit wrapper per
+            # call would re-trace every invocation
+            self._solve_many_jit = jax.jit(
+                jax.vmap(
+                    self._solve_raw, in_axes=(0, 0, None, None, None, None)
+                )
+            )
+        fn = self._solve_many_jit
         return fn(
             z0, penv, jnp.asarray(mu0, dt),
             self.opts.maxIter if max_iter is None else max_iter,

@@ -47,15 +47,24 @@ class SolverOptions:
     coupledAlphas: bool = True
 
     # -- Newton matrix / factorization (parameters4optimize.m) ---------
-    smallerNewtonMatrix: bool = False
+    # smallerNewtonMatrix=None resolves per variant: the condensed
+    # (smaller) system for 'standard'/'auto', the large matrix for
+    # 'timesLambda' (which requires it, ipmPD_CStimesLambda.m:34-48)
+    smallerNewtonMatrix: Optional[bool] = None
     useLDL: bool = True
     addEye2Hessian: bool = True
     adjustAddEye2Hessian: bool = True
     useInertia: bool = False
     addEye2HessianUtolerance: float = 1e-6
-    # variant: 'timesLambda' (reference default, ipmPD_CStimesLambda.m),
-    # or 'standard' (ipmPD_CS.m large/small Newton matrix)
-    variant: str = "timesLambda"
+    # variant: 'auto' (default — resolves to the condensed 'standard'
+    # formulation, the fastest path on TPU: smaller KKT system that the
+    # structure planner can map onto the banded fleet kernels),
+    # 'timesLambda' (the reference generators' own pick, switch 3 at
+    # lib/cmex2optimizeCS.m:83-93 — multiplicative lambda updates), or
+    # 'standard' (ipmPD_CS.m large/small Newton matrix).  The reference
+    # also picks the variant for the user; this framework picks the one
+    # that dominates on the target hardware.
+    variant: str = "auto"
 
     # -- regularization adaptation constants (ipmPD_CSsolver.c:145-148) -
     addEye2HessianMIN: float = 1e-20
@@ -68,25 +77,31 @@ class SolverOptions:
     # iterative-refinement sweeps after the f32 factorization solve
     # (mixed-precision contract, kkt/dense.py); more sweeps cost one
     # matvec + one substitution pair each but cut direction error —
-    # worth it when stragglers trip the addEye2Hessian adaptation
-    kkt_refine: int = 2
-    # KKT backend: 'dense', 'tridiag' (block-tridiagonal structured
-    # elimination for MPC horizons), 'spike' (tridiag partitioned across
-    # a device mesh — pass kkt_mesh to optimize()), or 'auto'
-    kkt_backend: str = "dense"
+    # worth it when stragglers trip the addEye2Hessian adaptation.
+    # None resolves per backend (see refine_for): 1 on the Jacobi-
+    # equilibrated banded fleet kernel (ablation: identical convergence,
+    # -3.2 ms/iter at B=1024), 2 elsewhere.
+    kkt_refine: Optional[int] = None
+    # KKT backend: 'auto' (default — probe the KKT sparsity at build
+    # time and pick the best structured kernel for the hardware: the
+    # batch-in-lanes banded/dense Pallas fleet kernels on TPU, the pure-
+    # XLA block-tridiagonal elimination on CPU, arrow when band fails,
+    # dense otherwise), 'dense', 'ldl', 'tridiag', 'cyclic', 'pallas',
+    # 'fleet', 'fleet_banded', or 'spike' (tridiag partitioned across a
+    # device mesh — pass kkt_mesh to optimize())
+    kkt_backend: str = "auto"
     # number of line-search trial alphas evaluated in one batched sweep
     # (replaces the reference's sequential backtracking get/set loop,
     # lib/ipmPD_CSsolver.c:690-756)
     linesearch_points: int = 32
-    # when True AND dF/du is iteration-invariant (affine F), the line
-    # search evaluates min F(u + a dU) = min(F + a Fu dU) as one
-    # broadcast instead of linesearch_points constraint evaluations.
-    # Mathematically exact for affine F, but the different rounding
-    # perturbs the iterate trajectory (same tolerance ball, different
-    # point) — off by default to match the reference's exact-F
-    # evaluation (lib/ipmPD_CSsolver.c:690-756); the flagship bench
-    # enables it.
-    linesearch_affine_F: bool = False
+    # when True AND dF/du is iteration-invariant (affine F, certified by
+    # the build-time hoist analysis), the line search evaluates
+    # min F(u + a dU) = min(F + a Fu dU) as one broadcast instead of
+    # linesearch_points constraint evaluations.  Mathematically exact
+    # whenever the certificate holds (the only difference is rounding
+    # order), so it is ON by default; set False to force the reference's
+    # exact-F re-evaluation (lib/ipmPD_CSsolver.c:690-756).
+    linesearch_affine_F: bool = True
 
     # -- diagnostics ---------------------------------------------------
     verboseLevel: int = 0
@@ -102,8 +117,21 @@ class SolverOptions:
     def __post_init__(self):
         if self.delta not in (2, 3):
             raise ValueError("delta must be 2 or 3 (parameters4all.m:171)")
-        if self.variant not in ("timesLambda", "standard"):
-            raise ValueError("variant must be 'timesLambda' or 'standard'")
+        if self.variant not in ("auto", "timesLambda", "standard"):
+            raise ValueError(
+                "variant must be 'auto', 'timesLambda' or 'standard'"
+            )
+        # resolve 'auto' variant (the reference generators likewise pick
+        # the variant for the user, lib/cmex2optimizeCS.m:83-93);
+        # smallerNewtonMatrix=None stays unresolved here — it is decided
+        # per problem class by resolved(): condensed for optimize (the
+        # TPU fast path), large matrix for the game solvers (the
+        # reference's own equilibrium default, and the more robust
+        # branch on rank-deficient latent games)
+        if self.variant == "auto":
+            object.__setattr__(self, "variant", "standard")
+        if self.variant == "timesLambda" and self.smallerNewtonMatrix is None:
+            object.__setattr__(self, "smallerNewtonMatrix", False)
         if self.variant == "timesLambda":
             # same restrictions the reference enforces
             # (ipmPD_CStimesLambda.m:34-48)
@@ -127,6 +155,27 @@ class SolverOptions:
     @property
     def np_dtype(self):
         return jnp.dtype(self.dtype)
+
+    def resolved(self, problem_class: str = "optimize") -> "SolverOptions":
+        """Resolve per-problem-class defaults (smallerNewtonMatrix=None):
+        the condensed system for single minimization with the standard
+        variant, the large matrix for minmax/equilibrium games."""
+        if self.smallerNewtonMatrix is not None:
+            return self
+        small = self.variant == "standard" and problem_class == "optimize"
+        return self.replace(smallerNewtonMatrix=small)
+
+    def refine_for(self, backend: str) -> int:
+        """Iterative-refinement sweep count for a (resolved) backend.
+
+        kkt_refine=None resolves to 1 on the Jacobi-equilibrated banded
+        fleet kernel and 2 elsewhere (mixed-precision contract of
+        kkt/dense.py)."""
+        if self.kkt_refine is not None:
+            return self.kkt_refine
+        # the symmetric equilibrated banded LDL needs only one sweep;
+        # the unsymmetric banded LU (clamped pivots) needs two
+        return 1 if backend == "fleet_banded" else 2
 
     def replace(self, **kw) -> "SolverOptions":
         return dataclasses.replace(self, **kw)

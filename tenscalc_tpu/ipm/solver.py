@@ -180,6 +180,7 @@ def build_ipm(
     opts: SolverOptions,
     kkt_solver=None,
     hoist=(False, False, False),
+    fleet_init=False,
 ):
     """Build the jittable ``solve`` function for a problem instance.
 
@@ -192,11 +193,17 @@ def build_ipm(
     matrices are computed once per solve before the while_loop instead
     of by AD in every iteration (the reference's reactive
     dependency-group behavior, lib/@csparse/dependencyGroups.m).
+
+    ``fleet_init=True`` (set by the api layer when a Pallas fleet
+    backend is installed) switches the nu initializer to a
+    Jacobi-preconditioned CG on the normal equations, avoiding both a
+    slow XLA batched dense LU and a second Mosaic kernel call site in
+    the prologue.
     """
     hoist_H, hoist_Fu, hoist_Gu = hoist
     dt = opts.np_dtype
     variant = opts.variant
-    small = opts.smallerNewtonMatrix
+    small = bool(opts.smallerNewtonMatrix)  # None (unresolved) -> large
     nK = nU + nG + (0 if small else nF)
 
     # desired inertia (lib/ipmPD_CSsolver.c:164-169)
@@ -404,7 +411,7 @@ def build_ipm(
         if kkt_solver is not None:
             return kkt_solver(WW)
         return kkt_factorize(WW, need_inertia=opts.useInertia, block=opts.ldl_block,
-                             n_refine=opts.kkt_refine)
+                             n_refine=opts.refine_for("dense"))
 
     # ------------------------------------------------------------------
     # batched backtracking line search (lib/ipmPD_CSsolver.c:679-756)
@@ -473,42 +480,51 @@ def build_ipm(
             b0 = jnp.concatenate(
                 [(Fu0.T @ lam0 if nF > 0 else 0.0) - f_u0, jnp.zeros((nG,), dt)]
             )
-            if kkt_solver is not None and opts.kkt_backend in (
-                "fleet", "fleet_banded"
-            ):
-                # fleet bench path: eliminating x from
+            if fleet_init:
+                # fleet path: eliminating x from
                 # [I, Gu'; Gu, -eps I][x; nu] = [b; 0] gives the SPD
                 # normal equations (Gu Gu' + eps I) nu = Gu b, solved by
-                # fixed-iteration CG — pure XLA vector ops.  The dense
-                # batched LU here costs ~100 ms at B=1024 (XLA batched
-                # small-matrix linalg is uniformly slow on TPU), and
-                # adding a second Mosaic-kernel call site in the
-                # prologue hangs the remote Mosaic compiler; nu0 is only
-                # an initializer so modest CG accuracy is enough
-                # (ipmPD_CStimesLambda.m:212-217 solves the same
-                # regularized LS).
+                # fixed-iteration Jacobi-preconditioned CG — pure XLA
+                # vector ops.  The dense batched LU here costs ~100 ms
+                # at B=1024 (XLA batched small-matrix linalg is
+                # uniformly slow on TPU), and adding a second Mosaic
+                # kernel call site in the prologue hangs the remote
+                # Mosaic compiler; nu0 is only an initializer so modest
+                # CG accuracy is enough (ipmPD_CStimesLambda.m:212-217
+                # solves the same regularized LS).  The diagonal
+                # preconditioner keeps the squared condition number of
+                # Gu from stalling the fixed iteration count.
                 btop = b0[:nU]
                 rhs0 = Gu0 @ btop
                 eps0 = jnp.maximum(addEq0, jnp.asarray(1e-8, dt))
+                Mdiag = jnp.sum(Gu0 * Gu0, axis=1) + eps0
 
                 def Aop(v):
                     return Gu0 @ (Gu0.T @ v) + eps0 * v
 
                 def cg_body(_, carry):
-                    x, r, p, rs = carry
+                    x, r, p, rz = carry
                     Ap = Aop(p)
-                    alpha = rs / jnp.maximum(p @ Ap, jnp.asarray(1e-30, dt))
+                    alpha = rz / jnp.maximum(p @ Ap, jnp.asarray(1e-30, dt))
                     x = x + alpha * p
                     r = r - alpha * Ap
-                    rs_new = r @ r
-                    beta = rs_new / jnp.maximum(rs, jnp.asarray(1e-30, dt))
-                    return (x, r, p * beta + r, rs_new)
+                    z = r / Mdiag
+                    rz_new = r @ z
+                    beta = rz_new / jnp.maximum(rz, jnp.asarray(1e-30, dt))
+                    return (x, r, z + beta * p, rz_new)
 
                 x0c = jnp.zeros((nG,), dt)
+                z0c = rhs0 / Mdiag
                 n_cg = min(2 * nG, 100)
-                nu0, *_ = lax.fori_loop(
-                    0, n_cg, cg_body, (x0c, rhs0, rhs0, rhs0 @ rhs0)
+                nu0, r_fin, *_ = lax.fori_loop(
+                    0, n_cg, cg_body, (x0c, rhs0, z0c, rhs0 @ z0c)
                 )
+                if opts.verboseLevel >= 4:
+                    # surface ill-conditioned inits (ADVICE r2)
+                    jax.debug.print(
+                        "nu-init CG residual: {r:8.1e} (|rhs| {b:8.1e})",
+                        r=_norminf(r_fin), b=_norminf(rhs0),
+                    )
             else:
                 from ..kkt.dense import lu_solve_mixed
 
@@ -711,7 +727,9 @@ def build_ipm(
                 # updateAddEye2Hessian* flags)
                 derr = dirn.derr
                 dec = derr < opts.maxDirectionError
-                inc = derr > opts.maxDirectionError
+                # NaN-safe: a NaN direction error must count as "too
+                # large" or a blown-up factorization escapes recovery
+                inc = ~(derr <= opts.maxDirectionError)
                 addU_next = jnp.where(
                     dec & (addU > MIN), jnp.maximum(0.75 * addU, MIN), addU
                 )

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .structure import BandedPlan, plan_banded
-from .tridiag import TridiagFactorization, tridiag_factorize
+from .tridiag import TridiagFactorization, _factor_dtype, tridiag_factorize
 
 
 @dataclasses.dataclass
@@ -76,24 +76,27 @@ class ArrowFactorization:
         self.n_refine = n_refine
         band = jnp.asarray(plan.band)
         arrow = jnp.asarray(plan.arrow)
+        fdt = _factor_dtype(WW)  # f32 on TPU, native dtype on CPU
+        self._fdt = fdt
         B = WW[band][:, band]
-        self.C = WW[band][:, arrow].astype(jnp.float32)
-        D = WW[arrow][:, arrow].astype(jnp.float32)
+        self.C = WW[band][:, arrow].astype(fdt)
+        D = WW[arrow][:, arrow].astype(fdt)
         self.bfac = tridiag_factorize(B, plan.band_plan, n_refine=0)
-        # Schur complement S = D - C^T B^{-1} C (f32)
-        BC = self.bfac.solve(self.C.astype(WW.dtype)).astype(jnp.float32)
+        # Schur complement S = D - C^T B^{-1} C (factor dtype)
+        BC = self.bfac.solve(self.C.astype(WW.dtype)).astype(fdt)
         S = D - self.C.T @ BC
         self.S_lu = jax.scipy.linalg.lu_factor(S)
         self._band_idx = band
         self._arrow_idx = arrow
 
     def _solve32(self, rhs):
-        b1 = rhs[self._band_idx].astype(jnp.float32)
-        b2 = rhs[self._arrow_idx].astype(jnp.float32)
-        y1 = self.bfac._solve32(b1)
+        b1 = rhs[self._band_idx].astype(self._fdt)
+        b2 = rhs[self._arrow_idx].astype(self._fdt)
+        y1 = self.bfac._solve32(b1).astype(self._fdt)
         x2 = jax.scipy.linalg.lu_solve(self.S_lu, b2 - self.C.T @ y1)
-        x1 = self.bfac._solve32(b1 - self.C @ x2)
-        out = jnp.zeros((self.plan.n,), jnp.float32)
+        x1 = self.bfac._solve32((b1 - self.C @ x2).astype(self._fdt))
+        x1 = x1.astype(self._fdt)
+        out = jnp.zeros((self.plan.n,), self._fdt)
         out = out.at[self._band_idx].set(x1)
         out = out.at[self._arrow_idx].set(x2)
         return out

@@ -191,10 +191,10 @@ def fleet_ldl_factor_batched(A: jax.Array, clamp: float = 0.0):
     L, d = pl.pallas_call(
         functools.partial(_fleet_factor_kernel, npad, tile, clamp),
         grid=(Bpad // tile,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=(
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((npad, npad, Bpad), jnp.float32),
@@ -234,11 +234,11 @@ def fleet_ldl_solve_batched(L: jax.Array, d: jax.Array, b: jax.Array):
         functools.partial(_fleet_solve_kernel, npad, tile),
         grid=(Bpad // tile,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((npad, Bpad), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((npad, npad, tile), jnp.float32),

@@ -223,8 +223,8 @@ def fleet_banded_factor_batched(band: jax.Array, w: int, clamp: float = 0.0):
             _factor_kernel, -(-n // 8), npad, w, wpad, tile, clamp
         ),
         grid=(Bpad // tile,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((npad, wpad, Bpad), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((npad, wpad, tile), jnp.float32),
@@ -259,10 +259,10 @@ def fleet_banded_solve_batched(fband: jax.Array, b: jax.Array, w: int):
         ),
         grid=(Bpad // tile,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((npad, Bpad), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((npad, wpad, tile), jnp.float32),
@@ -351,7 +351,15 @@ class FleetBandedFactorization:
         P = jnp.asarray(
             np.eye(n, dtype=np.float32)[perm]
         )  # P[a, perm[a]] = 1
-        Wp = P @ (W32 @ P.T)  # Wp[a, b] = WW[perm[a], perm[b]]
+        # Precision.HIGHEST: on TPU the default f32 dot lowers to bf16
+        # MXU passes, which would silently round the extracted band (and
+        # the Jacobi equilibration diagonal) to ~8 mantissa bits.  With
+        # one-hot operands the HIGHEST contraction stays exact and still
+        # rides the MXU.
+        hp = jax.lax.Precision.HIGHEST
+        Wp = jnp.matmul(
+            P, jnp.matmul(W32, P.T, precision=hp), precision=hp
+        )  # Wp[a, b] = WW[perm[a], perm[b]]
         WpT = Wp.T  # == P WW^T P^T; equals Wp for symmetric WW, and the
         # band consumes exactly the lower triangle of Wp either way
         Y = jnp.concatenate([WpT, jnp.zeros((n, w), jnp.float32)], axis=1)

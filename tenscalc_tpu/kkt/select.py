@@ -1,0 +1,114 @@
+"""Structured-KKT backend selection for the game solvers.
+
+Mirrors OptimizeSolver._plan_structure (tenscalc_tpu/api.py) for the
+minmax / equilibrium IPMs: probe the KKT pattern at build time, compute
+the RCM banded plan, and pick the best kernel for the hardware.  The
+difference is symmetry: the minmax saddle KKT is symmetric (banded LDL
+fleet kernel / block-tridiagonal LDL), while the equilibrium
+two-Lagrangian KKT is unsymmetric (reference default useLDL=false,
+lib/private/parameters4equilibrium.m:149-150) and routes to the banded
+LU variants (kkt/banded_lu.py).
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+
+
+def compute_banded_plan(assemble_trial, nK):
+    """Probe |WW| over random trials on the host CPU -> BandedPlan (or
+    None when probing fails — structure is then best-effort)."""
+    from .structure import plan_banded, probe_pattern
+
+    try:
+        cpus = jax.devices("cpu")
+        if cpus:
+            with jax.default_device(cpus[0]):
+                pattern = probe_pattern(assemble_trial, nK)
+        else:  # pragma: no cover
+            pattern = probe_pattern(assemble_trial, nK)
+    except Exception:
+        return None
+    return plan_banded(pattern)
+
+
+def select_game_backend(opts, nK, plan_fn, symmetric: bool):
+    """Return ``(kkt_solver, resolved_name, plan)`` for a game solver.
+
+    ``plan_fn``: lazy () -> BandedPlan|None (probing cost is only paid
+    when a structured backend is requested or 'auto' wants one).
+    """
+    from ..api import _prefer_fleet
+
+    kb = opts.kkt_backend
+    if kb in ("dense", "ldl"):
+        return None, "dense", None
+    allowed = ("auto", "tridiag", "fleet", "fleet_banded")
+    if kb not in allowed:
+        raise ValueError(
+            f"kkt_backend={kb!r} is not supported for the game solvers; "
+            f"use one of {('dense',) + allowed}"
+        )
+    fleet = kb in ("fleet", "fleet_banded") or (
+        kb == "auto" and _prefer_fleet()
+    )
+    if kb == "fleet":
+        if not symmetric:
+            raise ValueError(
+                "kkt_backend='fleet' (dense LDL fleet kernel) needs a "
+                "symmetric KKT; the equilibrium system is unsymmetric — "
+                "use 'fleet_banded' (banded LU) or 'dense'"
+            )
+        return _fleet_dense(opts), "fleet", None
+    if nK < 64:  # too small for a structured path to matter
+        if fleet and symmetric:
+            return _fleet_dense(opts), "fleet", None
+        return None, "dense", None
+    plan = plan_fn()
+    if plan is None or not plan.worthwhile:
+        if kb == "tridiag":
+            raise ValueError(
+                "kkt_backend='tridiag' requested but the probed KKT "
+                "pattern has no worthwhile band structure"
+            )
+        if fleet and symmetric:
+            return _fleet_dense(opts), "fleet", None
+        return None, "dense", None
+    if fleet:
+        n_ref = opts.refine_for("fleet_banded")
+        if symmetric:
+            from .fleet_banded import fleet_banded_kkt_factorize
+
+            return (
+                lambda WW: fleet_banded_kkt_factorize(
+                    WW, plan, n_refine=n_ref
+                ),
+                "fleet_banded",
+                plan,
+            )
+        from .banded_lu import fleet_banded_lu_kkt_factorize
+
+        n_ref_lu = opts.refine_for("fleet_banded_lu")
+        return (
+            lambda WW: fleet_banded_lu_kkt_factorize(
+                WW, plan, n_refine=n_ref_lu
+            ),
+            "fleet_banded_lu",
+            plan,
+        )
+    # pure-XLA structured path (CPU / explicit 'tridiag')
+    if symmetric:
+        from .tridiag import tridiag_factorize
+
+        return (lambda WW: tridiag_factorize(WW, plan), "tridiag", plan)
+    from .banded_lu import tridiag_lu_factorize
+
+    return (lambda WW: tridiag_lu_factorize(WW, plan), "tridiag_lu", plan)
+
+
+def _fleet_dense(opts):
+    from .fleet import fleet_kkt_factorize
+
+    n_ref = opts.refine_for("fleet")
+    return lambda WW: fleet_kkt_factorize(WW, n_refine=n_ref)

@@ -28,6 +28,19 @@ from jax import lax
 from .structure import BandedPlan
 
 
+def _factor_dtype(WW):
+    """f32 on TPU (mixed-precision contract; LuDecomposition is
+    f32-only there), the matrix's own dtype elsewhere — on CPU the
+    native f64 factorization costs the same and never needs the
+    refinement safety net."""
+    try:
+        if jax.default_backend() == "tpu":
+            return jnp.float32
+    except Exception:  # pragma: no cover
+        pass
+    return WW.dtype
+
+
 def _to_blocks(WWp: jax.Array, plan: BandedPlan):
     """Extract padded diagonal and subdiagonal block sequences."""
     s, nb, n = plan.block, plan.n_blocks, plan.n
@@ -59,13 +72,15 @@ class TridiagFactorization:
     Solves in f32 with optional f64 refinement against the full matrix.
     """
 
-    def __init__(self, Ls, Ds, Ds_lu, plan: BandedPlan, WW, n_refine: int = 2):
+    def __init__(self, Ls, Ds, Ds_lu, plan: BandedPlan, WW, n_refine: int = 2,
+                 scale=None):
         self.Ls = Ls            # (nb, s, s) L_i factors (L_0 unused)
         self.Ds = Ds            # (nb, s, s) Schur diagonal blocks
         self.Ds_lu = Ds_lu      # tuple (lu, piv) of (nb, s, s) diag LUs
         self.plan = plan
         self.WW = WW            # original (unpermuted, unpadded) f64 matrix
         self.n_refine = n_refine
+        self.scale = scale      # Jacobi equilibration diag (permuted order)
 
     def _solve32(self, b: jax.Array) -> jax.Array:
         """One banded solve in f32 on the permuted padded system."""
@@ -74,8 +89,10 @@ class TridiagFactorization:
         npad = nb * s
         perm = jnp.asarray(plan.perm)
         iperm = jnp.asarray(plan.iperm)
-        bp = b[perm].astype(jnp.float32)
-        bp = jnp.concatenate([bp, jnp.zeros((npad - n,), jnp.float32)])
+        bp = b[perm].astype(self.Ls.dtype)
+        if self.scale is not None:
+            bp = self.scale * bp
+        bp = jnp.concatenate([bp, jnp.zeros((npad - n,), bp.dtype)])
         bb = bp.reshape(nb, s)
 
         Ls = self.Ls
@@ -88,7 +105,7 @@ class TridiagFactorization:
             y_i = b_i - L_i @ yprev
             return y_i, y_i
 
-        _, ys = lax.scan(fwd, jnp.zeros((s,), jnp.float32), (Ls, bb))
+        _, ys = lax.scan(fwd, jnp.zeros((s,), bb.dtype), (Ls, bb))
 
         # diagonal: z_i = D_i^{-1} y_i
         zs = jax.vmap(
@@ -106,12 +123,14 @@ class TridiagFactorization:
             return x_i, x_i
 
         Ls_next = jnp.concatenate(
-            [Ls[1:], jnp.zeros((1, s, s), jnp.float32)], axis=0
+            [Ls[1:], jnp.zeros((1, s, s), Ls.dtype)], axis=0
         )
         _, xs = lax.scan(
-            bwd, jnp.zeros((s,), jnp.float32), (Ls_next, zs), reverse=True
+            bwd, jnp.zeros((s,), zs.dtype), (Ls_next, zs), reverse=True
         )
         x = xs.reshape(npad)[:n]
+        if self.scale is not None:
+            x = self.scale[: n] * x
         return x[iperm]
 
     def solve(self, rhs: jax.Array) -> jax.Array:
@@ -119,8 +138,21 @@ class TridiagFactorization:
         if rhs.ndim == 2:
             return jax.vmap(self.solve, in_axes=1, out_axes=1)(rhs)
         x = self._solve32(rhs).astype(dt)
+        # safeguarded refinement: the f32 factor can be a DIVERGENT
+        # preconditioner on ill-conditioned IPM-endgame systems; keep a
+        # refined iterate only when it actually reduces the residual, so
+        # the worst case is a large-but-finite direction error that the
+        # IPM's addEye2Hessian adaptation then handles
+        # (lib/ipmPD_CSsolver.c:393-548), never a NaN abort.
+        x = jnp.where(jnp.isfinite(x), x, jnp.zeros((), dt))
+        r = rhs - self.WW @ x
         for _ in range(self.n_refine):
-            x = x + self._solve32(rhs - self.WW @ x).astype(dt)
+            x2 = x + self._solve32(r).astype(dt)
+            r2 = rhs - self.WW @ x2
+            better = jnp.max(jnp.abs(r2)) < jnp.max(jnp.abs(r))
+            better &= jnp.all(jnp.isfinite(x2))
+            x = jnp.where(better, x2, x)
+            r = jnp.where(better, r2, r)
         return x
 
     def inertia(self, tol: float = 0.0):
@@ -137,9 +169,16 @@ class TridiagFactorization:
 
 
 def tridiag_factorize(WW: jax.Array, plan: BandedPlan, n_refine: int = 2) -> TridiagFactorization:
-    """Permute + factor (f32) the block-tridiagonal KKT matrix."""
+    """Permute + equilibrate + factor (f32) the block-tridiagonal KKT
+    matrix.  The Jacobi equilibration (s = 1/sqrt(|diag|)) compresses
+    the pivot dynamic range exactly as in kkt/fleet_banded.py — without
+    it the f32 block elimination loses the IPM endgame on
+    ill-conditioned systems."""
     perm = jnp.asarray(plan.perm)
-    WWp = WW[perm][:, perm].astype(jnp.float32)
+    fdt = _factor_dtype(WW)
+    WWp = WW[perm][:, perm].astype(fdt)
+    s_eq = lax.rsqrt(jnp.maximum(jnp.abs(jnp.diagonal(WWp)), 1e-30))
+    WWp = WWp * s_eq[:, None] * s_eq[None, :]
     A, B = _to_blocks(WWp, plan)
 
     def step(carry, inp):
@@ -159,8 +198,10 @@ def tridiag_factorize(WW: jax.Array, plan: BandedPlan, n_refine: int = 2) -> Tri
     (_, _), (Ls_rest, Ds_rest, lus_rest, pivs_rest) = lax.scan(
         step, (lu0, piv0), (A[1:], B[1:])
     )
-    Ls = jnp.concatenate([jnp.zeros((1, s, s), jnp.float32), Ls_rest], axis=0)
+    Ls = jnp.concatenate([jnp.zeros((1, s, s), fdt), Ls_rest], axis=0)
     Ds = jnp.concatenate([A[0][None], Ds_rest], axis=0)
     lus = jnp.concatenate([lu0[None], lus_rest], axis=0)
     pivs = jnp.concatenate([piv0[None], pivs_rest], axis=0)
-    return TridiagFactorization(Ls, Ds, (lus, pivs), plan, WW, n_refine=n_refine)
+    return TridiagFactorization(
+        Ls, Ds, (lus, pivs), plan, WW, n_refine=n_refine, scale=s_eq
+    )

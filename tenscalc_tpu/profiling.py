@@ -63,13 +63,14 @@ def flop_counts(solver) -> Dict[str, float]:
         c["kkt_assembly"] = 2.0 * nF * nU * nU + 2.0 * nF * nU  # Fu' LPG
     else:
         c["kkt_assembly"] = float(nK * nK)  # concats/scaling
-    # factorization + substitutions, by backend
+    # factorization + substitutions, by (resolved) backend
     plan = getattr(solver, "kkt_plan", None)
-    backend = opts.kkt_backend
+    backend = getattr(solver, "kkt_backend_resolved", opts.kkt_backend)
+    n_refine = opts.refine_for(backend)
     n_rhs = 1 + (0 if opts.skipAffine else 1)
-    n_solve32 = n_rhs * (1 + opts.kkt_refine)
+    n_solve32 = n_rhs * (1 + n_refine)
     if plan is not None and getattr(plan, "bandwidth", None) and backend in (
-        "fleet_banded", "tridiag", "cyclic", "spike", "auto",
+        "fleet_banded", "tridiag", "cyclic", "spike",
     ):
         w = plan.bandwidth
         c["factorization"] = 2.0 * nK * w * (w + 1)
@@ -77,7 +78,7 @@ def flop_counts(solver) -> Dict[str, float]:
     else:
         c["factorization"] = 2.0 * nK**3 / 3.0
         c["substitutions"] = n_solve32 * 2.0 * nK * nK
-    c["refinement_matvecs"] = n_rhs * opts.kkt_refine * 2.0 * nK * nK
+    c["refinement_matvecs"] = n_rhs * n_refine * 2.0 * nK * nK
     c["direction_error"] = 2.0 * nK * nK
     # batched line search: 2*(K+2) evaluations of F(u + a dU)
     if nF:

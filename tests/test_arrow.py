@@ -59,7 +59,9 @@ def test_auto_backend_picks_arrow_for_global_variable():
     """MPC-like problem with a global variable in every stage cost: the
     banded plan fails (dense coupling) but arrow+band succeeds, and the
     full solve matches the dense backend."""
-    T = 30
+    # T large enough that the CONDENSED (default) KKT of size T+1
+    # clears the structured-path threshold (nK >= 64)
+    T = 80
     x = tc.variable("ar_x", (T,))
     g = tc.variable("ar_g", ())        # global variable -> arrow
     r = tc.variable("ar_r", (T,))

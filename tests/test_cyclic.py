@@ -73,8 +73,14 @@ def test_mpc_solver_with_cyclic_backend():
     from examples import mpc_dcmotor
 
     T = 20
-    cy = mpc_dcmotor.build_solver(T=T, namespace="cy1_", kkt_backend="cyclic")
-    de = mpc_dcmotor.build_solver(T=T, namespace="cy2_", kkt_backend="dense")
+    cy = mpc_dcmotor.build_solver(
+        T=T, namespace="cy1_", kkt_backend="cyclic",
+        desiredDualityGap=1e-8, gradTolerance=1e-6,
+    )
+    de = mpc_dcmotor.build_solver(
+        T=T, namespace="cy2_", kkt_backend="dense",
+        desiredDualityGap=1e-8, gradTolerance=1e-6,
+    )
     assert cy.kkt_plan is not None
 
     def inst(ns):

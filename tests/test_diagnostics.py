@@ -197,7 +197,10 @@ def test_capture_ww_localizes_misscaled_variable():
     params = {"cw_p": np.array([0.5, -0.25, 1.0, 0.1])}
     cap = solver.capture_ww(params, mu0=1.0)
     assert cap["it"] >= 1
-    assert cap["WW"].shape[0] == solver.nU + solver.nG + solver.nF
+    nK = solver.nU + solver.nG + (
+        0 if solver.opts.smallerNewtonMatrix else solver.nF
+    )
+    assert cap["WW"].shape[0] == nK
     rep = cap["report"]["variables"]
     # the mis-scaled variable's Hessian diagonal dwarfs the healthy one
     assert (

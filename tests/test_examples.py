@@ -26,11 +26,11 @@ def test_sls_constrained():
     )
     assert sol.ok, sol.describe()
     x = sol.outputs["x"]
-    assert (np.abs(x) <= 0.01 + 1e-8).all()
-    # oracle: box-constrained LS
+    assert (x >= -1e-8).all() and (x <= 0.05 + 1e-8).all()
+    # oracle: box-constrained LS (reference bounds 0 <= x <= .05)
     from scipy.optimize import lsq_linear
 
-    ref = lsq_linear(d["A"], d["b"], bounds=(-0.01, 0.01), tol=1e-12)
+    ref = lsq_linear(d["A"], d["b"], bounds=(0.0, 0.05), tol=1e-12)
     np.testing.assert_allclose(
         sol.outputs["J"], np.sum((d["A"] @ ref.x - d["b"]) ** 2) / 400, rtol=1e-4
     )

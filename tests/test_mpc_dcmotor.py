@@ -52,20 +52,27 @@ def test_single_solve_kkt(solver):
     assert np.abs(resid).max() <= 1e-4
 
 
-def test_against_slsqp_oracle(solver):
+def test_against_slsqp_oracle():
     """Cross-check the optimum against scipy SLSQP on the same QP
-    (the reference's oracle pattern, e.g. sls.m vs quadprog/CVX)."""
+    (the reference's oracle pattern, e.g. sls.m vs quadprog/CVX).
+
+    Individual controls near active bounds are only determined to
+    O(gap), so the comparison solve runs at tightened tolerances (the
+    default gap=1e-5 leaves ~1e-2 slack in weakly-determined u entries)."""
     from scipy.optimize import minimize as sp_minimize
 
-    params, init = _one_instance()
+    solver = mpc_dcmotor.build_solver(
+        T=30, namespace="m1o_", desiredDualityGap=1e-8, gradTolerance=1e-6,
+    )
+    params, init = _one_instance(ns="m1o_")
     sol = solver.solve(params, init=init, mu0=1e-3, max_iter=100)
     assert sol.ok
 
     T = 30
     Ts, p, k = 0.1, -2.0, 1.0
-    ref = params["m1_ref"][0]
+    ref = params["m1o_ref"][0]
     lam_u = 1.0 / 50.0
-    xinit = params["m1_xinit"][:, 0]
+    xinit = params["m1o_xinit"][:, 0]
 
     nu_ = T - 1
 
@@ -78,7 +85,7 @@ def test_against_slsqp_oracle(solver):
     bounds = [(-1, 1)] * nu_ + [(None, None)] * 2  # x(:,0) free (pinned by eq)
     for _ in range(T - 1):
         bounds += [(-0.4, 0.4), (-0.3, 0.3)]
-    z0 = np.concatenate([init["m1_u"].ravel(), init["m1_x"].T.ravel()])
+    z0 = np.concatenate([init["m1o_u"].ravel(), init["m1o_x"].T.ravel()])
 
     # pack x in column-major time order to match bounds layout above
     def unpack2(z):

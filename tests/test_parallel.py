@@ -111,7 +111,11 @@ def test_batched_mpc():
     from examples import mpc_dcmotor
 
     T = 10
-    solver = mpc_dcmotor.build_solver(T=T, namespace="pb_")
+    # tightened tolerances: the batched-vs-single comparison below needs
+    # the iterates determined well inside the default tolerance ball
+    solver = mpc_dcmotor.build_solver(
+        T=T, namespace="pb_", desiredDualityGap=1e-8, gradTolerance=1e-6,
+    )
     base = mpc_dcmotor.default_params(T, "pb_")
     B = 4
     rng = np.random.default_rng(0)

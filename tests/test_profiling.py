@@ -29,7 +29,8 @@ def _solver(ns="pf_", **opts):
 def test_flop_counts_phases():
     s = _solver("pfa_")
     c = flop_counts(s)
-    nK = s.nU + s.nG + s.nF
+    # default variant resolves to the condensed Newton matrix
+    nK = s.nU + s.nG + (0 if s.opts.smallerNewtonMatrix else s.nF)
     assert c["kkt_size"] == nK
     # dense LU: nK^3/3 * 2
     np.testing.assert_allclose(c["factorization"], 2 * nK**3 / 3)

@@ -92,9 +92,13 @@ def test_spike_backend_in_ipm():
     mesh8 = Mesh(np.array(devs), ("stages",))
     T = 20
     sp = mpc_dcmotor.build_solver(
-        T=T, namespace="spk_", kkt_backend="spike", kkt_mesh=mesh8
+        T=T, namespace="spk_", kkt_backend="spike", kkt_mesh=mesh8,
+        desiredDualityGap=1e-8, gradTolerance=1e-6,
     )
-    de = mpc_dcmotor.build_solver(T=T, namespace="spd_", kkt_backend="dense")
+    de = mpc_dcmotor.build_solver(
+        T=T, namespace="spd_", kkt_backend="dense",
+        desiredDualityGap=1e-8, gradTolerance=1e-6,
+    )
     assert sp.kkt_plan is not None
 
     def inst(ns):

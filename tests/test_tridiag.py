@@ -72,8 +72,14 @@ def test_mpc_solver_uses_tridiag_and_matches_dense():
     from examples import mpc_dcmotor
 
     T = 20
-    dense = mpc_dcmotor.build_solver(T=T, namespace="td1_", kkt_backend="dense")
-    tri = mpc_dcmotor.build_solver(T=T, namespace="td2_", kkt_backend="tridiag")
+    dense = mpc_dcmotor.build_solver(
+        T=T, namespace="td1_", kkt_backend="dense",
+        desiredDualityGap=1e-8, gradTolerance=1e-6,
+    )
+    tri = mpc_dcmotor.build_solver(
+        T=T, namespace="td2_", kkt_backend="tridiag",
+        desiredDualityGap=1e-8, gradTolerance=1e-6,
+    )
     assert tri.kkt_plan is not None
     nK = tri.nU + tri.nG + tri.nF
     assert tri.kkt_plan.bandwidth < nK // 4, tri.kkt_plan

@@ -31,14 +31,18 @@ from bench import FLAGSHIP_OPTS, _device_batch_inputs
 from examples import mpc_dcmotor
 from tenscalc_tpu.parallel import batched_solve_fn
 
+# every variant differs from the resolved defaults (base = dtype-only
+# flagship: condensed standard, fleet_banded via auto, kkt_refine->1,
+# affine-F on, skipAffine on)
 VARIANTS = {
     "base": dict(),
     "ls8": dict(linesearch_points=8),
     "ls16": dict(linesearch_points=16),
-    "skipaff": dict(skipAffine=True),
-    "refine1": dict(kkt_refine=1),
+    "mehrotra": dict(skipAffine=False),
+    "refine2": dict(kkt_refine=2),
     "refine0": dict(kkt_refine=0),
     "noadj": dict(adjustAddEye2Hessian=False),
+    "noaffF": dict(linesearch_affine_F=False),
     "noprof": dict(),  # base again (sanity / run-to-run noise)
 }
 
