@@ -52,6 +52,11 @@ FLAGSHIP_OPTS = dict(dtype="float32")
 CHUNK = 1024
 
 
+def _note(msg):
+    print(f"[bench {time.strftime('%H:%M:%S')}] {msg}",
+          file=sys.stderr, flush=True)
+
+
 def _device_batch_inputs(solver, B, ns, T, rng):
     import jax.numpy as jnp
     import numpy as np
@@ -99,7 +104,9 @@ def _throughput(solver, B, ns, T, rng, n_queued=5, chunk=CHUNK):
     a1 = jnp.asarray(1e-9, jnp.float32)
     a2 = jnp.asarray(1e-9, jnp.float32)
     mi = jnp.asarray(100, jnp.int32)
-    fn = batched_solve_fn(solver)
+    if not hasattr(solver, "_bench_batched_fn"):
+        solver._bench_batched_fn = batched_solve_fn(solver)
+    fn = solver._bench_batched_fn
 
     nc = max(B // chunk, 1)
     csize = B // nc
@@ -144,6 +151,9 @@ def _queued_time(call, n_queued, sync):
 
 
 def bench_mpc(T=30, rng=None):
+    """One solver (one namespace) serves the whole batch curve: all
+    B >= CHUNK dispatches reuse the SAME compiled 1024-chunk function
+    (chunked lockstep), so the curve costs one compile total."""
     import numpy as np
 
     from examples import mpc_dcmotor
@@ -154,9 +164,10 @@ def bench_mpc(T=30, rng=None):
     curve = {}
     curve_iters = {}
     main_stats = None
+    ns = "bench_"
+    solver = mpc_dcmotor.build_solver(T=T, namespace=ns, **FLAGSHIP_OPTS)
     for B in curve_Bs:
-        ns = f"bench{B}_"
-        solver = mpc_dcmotor.build_solver(T=T, namespace=ns, **FLAGSHIP_OPTS)
+        _note(f"mpc curve B={B}")
         sps, n_ok, iters_max, iters_mean, batch_time = _throughput(
             solver, B, ns, T, np.random.default_rng(0)
         )
@@ -193,6 +204,7 @@ def bench_single(T=30):
     mu0 = jnp.asarray(1e-3, jnp.float32)
     a = jnp.asarray(1e-9, jnp.float32)
     mi = jnp.asarray(100, jnp.int32)
+    _note("single-solve compile")
     r = s1._solve_jit(u0, penv, mu0, mi, a, a)
     st0 = int(np.asarray(r.status))
     iters1 = int(np.asarray(r.iters))
@@ -229,6 +241,7 @@ def bench_sls():
     mi = jnp.asarray(30, jnp.int32)
     a = jnp.asarray(1e-9, jnp.float32)
 
+    _note("sls compile")
     r = sls_solver._solve_jit(u_cold, sls_penv, mu0, mi, a, a)
     if int(np.asarray(r.status)) != 0:
         return {"sls_solve_us": None, "sls_vs_ref_850us": None}
@@ -281,6 +294,7 @@ def bench_flops_curve(sizes=(30, 60, 100, 200, 300)):
         mu0 = jnp.asarray(1.0, jnp.float32)
         mi = jnp.asarray(60, jnp.int32)
         a = jnp.asarray(1e-9, jnp.float32)
+        _note(f"flops curve N={N}")
         r = solver._solve_jit(u0, penv, mu0, mi, a, a)
         st = int(np.asarray(r.status))
         iters = int(np.asarray(r.iters))
@@ -331,6 +345,7 @@ def bench_mpcmhe(B=1024, T=12, L=16):
     dparams = {k: jnp.asarray(np.asarray(v), jnp.float32)
                for k, v in params.items()}
 
+    _note(f"mpcmhe fleet B={B} backend={backend}")
     res = solver.solve_many(dparams, mu0=1e-3, max_iter=100)
     statuses = np.asarray(res.status)
     n_ok = int((statuses == 0).sum())

@@ -134,6 +134,66 @@ def debug_convergence_analysis(solution) -> dict:
     }
 
 
+def plot_convergence(solution, width: int = 64, height: int = 10,
+                     file=None) -> None:
+    """Render the iterate history as terminal charts — the runtime
+    analog of the reference's debugConvergence figures
+    (lib/ipmPD_CSsolver.m debugConvergence plots of cost, |grad|, gap,
+    mu, and step sizes vs iteration).
+
+    One panel per quantity: log10 scale for the positive convergence
+    measures (|grad|, |eq|, gap, mu, addU, direction error), linear for
+    cost and alphaPrimal.  Requires ``SolverOptions(profiling=True)``.
+    """
+    import sys
+
+    file = file or sys.stdout
+    if solution.history is None:
+        print("(no history: solve with profiling=True)", file=file)
+        return
+    h = np.asarray(solution.history)
+    cols = {name: h[:, i] for i, name in enumerate(HISTORY_COLUMNS)}
+    panels = [
+        ("cost", cols["J"], "lin"),
+        ("|grad|", cols["norminf_grad"], "log"),
+        ("|eq|", cols["norminf_eq"], "log"),
+        ("gap", cols["gap"], "log"),
+        ("mu", cols["mu"], "log"),
+        ("alphaPrimal", cols["alphaPrimal"], "lin"),
+        ("addEye2HessianU", cols["addU"], "log"),
+        ("direction error", cols["directionError"], "log"),
+    ]
+    n = len(h)
+    for title, y, scale in panels:
+        y = np.asarray(y, float)
+        if scale == "log":
+            if not (y > 0).any():
+                continue
+            y = np.log10(np.maximum(y, 1e-300))
+            fmt = lambda v: f"1e{v:+.1f}"
+        else:
+            fmt = lambda v: f"{v:.3g}"
+        lo, hi = float(y.min()), float(y.max())
+        if hi - lo < 1e-12:
+            hi = lo + 1.0
+        # resample iterations onto the plot width
+        xi = np.linspace(0, n - 1, min(n, width)).round().astype(int)
+        ys = y[xi]
+        rows = np.clip(
+            ((ys - lo) / (hi - lo) * (height - 1)).round().astype(int),
+            0, height - 1,
+        )
+        grid = [[" "] * len(xi) for _ in range(height)]
+        for c, r in enumerate(rows):
+            grid[height - 1 - r][c] = "*"
+        print(f"\n{title}  [{fmt(lo)} .. {fmt(hi)}]  ({n} iters)",
+              file=file)
+        for r, line in enumerate(grid):
+            edge = fmt(hi) if r == 0 else (fmt(lo) if r == height - 1 else "")
+            print(f"{edge:>9s} |{''.join(line)}", file=file)
+        print(" " * 10 + "+" + "-" * len(xi), file=file)
+
+
 def print_iteration_table(solution, file=None) -> None:
     """Render the profiling history like the reference's verboseLevel>=3
     per-iteration table (lib/ipmPD_CSsolver.c:247-276)."""

@@ -9,6 +9,7 @@ import tenscalc_tpu as tc
 from tenscalc_tpu.diagnostics import (
     analyze_hessian,
     debug_convergence_analysis,
+    plot_convergence,
     print_iteration_table,
 )
 from tenscalc_tpu.ipm.solver import HISTORY_COLUMNS
@@ -64,6 +65,22 @@ def test_iteration_table_and_analysis(qp, capsys):
     rep = debug_convergence_analysis(sol)
     assert rep["iters"] == sol.iters - 1  # exit iteration records no row
     assert isinstance(rep["findings"], list)
+
+
+def test_plot_convergence(qp, capsys):
+    solver, Q, c, n = qp
+    sol = solver.solve({"dg_Q": Q, "dg_c": c}, init={"dg_x": np.zeros(n)})
+    plot_convergence(sol)
+    out = capsys.readouterr().out
+    # one panel per rendered quantity, each with a title + axis marks
+    assert "gap" in out and "mu" in out and "alphaPrimal" in out
+    assert out.count("*") >= 4 * (sol.iters - 1)  # several curves drawn
+
+    class NoHist:
+        history = None
+
+    plot_convergence(NoHist())
+    assert "no history" in capsys.readouterr().out
 
 
 def test_analyze_hessian(qp):

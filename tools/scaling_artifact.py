@@ -150,9 +150,11 @@ def tpu_section(Bs=(256, 1024, 4096, 8192, 16384)):
 
     T = 30
     rows = {}
+    # same namespace as bench.py so every B >= 1024 reuses bench's
+    # compiled 1024-chunk function from the persistent cache
+    ns = "bench_"
+    solver = mpc_dcmotor.build_solver(T=T, namespace=ns, **FLAGSHIP_OPTS)
     for B in Bs:
-        ns = f"sct{B}_"
-        solver = mpc_dcmotor.build_solver(T=T, namespace=ns, **FLAGSHIP_OPTS)
         sps, n_ok, it_max, it_mean, bt = _throughput(
             solver, B, ns, T, np.random.default_rng(0), n_queued=3
         )
