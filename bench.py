@@ -137,6 +137,32 @@ def _throughput(solver, B, ns, T, rng, n_queued=5, chunk=CHUNK):
     return B / batch_time, n_ok, iters_max, iters_mean, batch_time
 
 
+def measure_dispatch_floor(n_queued=100):
+    """Per-call overhead of dispatching ONE trivial jitted program,
+    queued back-to-back with a single final host sync.  Through the
+    axon relay this floor is ~0.4-0.9 ms — it bounds any single-solve
+    wall-clock number from below regardless of device compute, so the
+    single-solve rows report device time (wall minus floor) alongside
+    the raw wall time.  On directly-attached TPU hardware the floor is
+    ~30-100 us and the distinction disappears."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    @jax.jit
+    def f(x):
+        return x * 1.000001
+
+    x = jnp.ones((32,), jnp.float32)
+    r = f(x)
+    np.asarray(r)
+    t0 = time.perf_counter()
+    for _ in range(n_queued):
+        r = f(r)
+    np.asarray(r)
+    return (time.perf_counter() - t0) / n_queued
+
+
 def _queued_time(call, n_queued, sync):
     """Time n_queued back-to-back dispatches with ONE final host sync."""
     import numpy as np
@@ -261,12 +287,20 @@ def bench_sls():
         20, lambda rr: np.asarray(rr.status),
     )
     us = warm_time * 1e6 if ok_w else cold_time * 1e6
+    floor_us = measure_dispatch_floor() * 1e6
+    # device time: wall minus the per-dispatch relay floor (see
+    # measure_dispatch_floor) — the number comparable to the reference's
+    # in-process 850 us, which pays no dispatch at all
+    dev_us = max(us - floor_us, 1.0)
     return {
         "sls_solve_us": round(us, 0),
         "sls_vs_ref_850us": round(850.0 / us, 4),
         "sls_cold_us": round(cold_time * 1e6, 0),
         "sls_iters_cold": iters_cold,
         "sls_iters_warm": iters_warm,
+        "dispatch_floor_us": round(floor_us, 0),
+        "sls_device_us": round(dev_us, 0),
+        "sls_device_vs_ref_850us": round(850.0 / dev_us, 4),
     }
 
 

@@ -29,6 +29,7 @@ from jax import lax
 from ..expr import Constraint, Expr, Variable
 from ..pack import Packing
 from .options import SolverOptions
+from ..kkt.dense import hdot
 from .solver import (
     STEPBACK,
     IPMResult,
@@ -38,11 +39,28 @@ from .solver import (
 )
 
 
-# regularization-adaptation constants (lib/ipmPDeq_CSsolver.c:313-316)
+# regularization-adaptation constants (lib/ipmPDeq_CSsolver.c:313-316).
+# The direction-error gate is dtype-aware: the reference's 1e-9 assumes
+# f64 factorizations; the f32 fleet paths (clamped unpivoted banded LU +
+# refinement) bottom out around ~1e-6-1e-7 absolute, and an unreachable
+# gate makes the adaptation loop burn its full MAX_ADAPT_STEPS re-solves
+# EVERY iteration (measured: ~20x the per-iteration cost at B=1024 on
+# TPU) while ratcheting addE2 to its ceiling for nothing.
 ADDE_MAX = 1e-2
 ADDE_MIN = 1e-20
-MAX_DIRECTION_ERROR = 1e-9
+MAX_DIRECTION_ERROR = 1e-9        # f64 (reference value)
+MAX_DIRECTION_ERROR_F32 = 1e-6
 MAX_ADAPT_STEPS = 20
+
+
+def _derr_tol(dt):
+    import jax.numpy as _jnp
+
+    return (
+        MAX_DIRECTION_ERROR
+        if _jnp.dtype(dt) == _jnp.float64
+        else MAX_DIRECTION_ERROR_F32
+    )
 
 
 class EqState(NamedTuple):
@@ -71,7 +89,15 @@ class _EqFns(NamedTuple):
 
 
 def build_equilibrium_ipm(fns: _EqFns, dims, opts: SolverOptions,
-                          kkt_solver=None):
+                          kkt_solver=None, param_shapes=None):
+    """``param_shapes`` (name -> shape) enables the build-time jaxpr
+    taint analysis (ipm/hoist.py): when the stationarity Jacobians
+    Sz/Sn/Sl and the constraint Jacobians Gz/Fz are certified
+    iteration-invariant (linear-quadratic games — every horizon MPC-MHE
+    with linear dynamics), they are computed once per solve before the
+    while_loop instead of by five jacfwd passes per iteration (the
+    reference's reactive dependency groups give the same behavior,
+    lib/@csparse/dependencyGroups.m)."""
     nUu, nD, nX, nFu, nFd, nGu, nGd, nH = dims
     dt = opts.np_dtype
     nZ = nUu + nD + nX
@@ -161,11 +187,52 @@ def build_equilibrium_ipm(fns: _EqFns, dims, opts: SolverOptions,
         ]
     ).astype(np.int32)
 
+    # build-time certification of iteration-invariant Jacobians
+    hoist_S = hoist_Gz = hoist_Fz = False
+    if param_shapes is not None:
+        from .hoist import output_independent_of
+
+        _penv_d = {k: jnp.zeros(s, dt) for k, s in param_shapes.items()}
+        _fns_d = scaled_fns(
+            _penv_d, jnp.ones((nFu,), dt), jnp.ones((nFd,), dt),
+            jnp.ones((), dt),
+        )
+        _, _, _Fall_d, _Gall_d, _, _, _stat_d = _fns_d
+        _z = jnp.zeros((nZ,), dt)
+        _nu = jnp.zeros((nNu,), dt)
+        _lam = jnp.ones((nF,), dt)
+        try:
+            hoist_S = output_independent_of(
+                lambda z, nu, lam: (
+                    jax.jacfwd(_stat_d, argnums=0)(z, nu, lam),
+                    jax.jacfwd(_stat_d, argnums=1)(z, nu, lam),
+                    jax.jacfwd(_stat_d, argnums=2)(z, nu, lam),
+                ),
+                3, _z, _nu, _lam,
+            )
+        except Exception:  # pragma: no cover - non-differentiable corner
+            hoist_S = False
+        if nGres:
+            try:
+                hoist_Gz = output_independent_of(
+                    lambda z: jax.jacfwd(_Gall_d)(z), 1, _z
+                )
+            except Exception:  # pragma: no cover
+                hoist_Gz = False
+        if nF:
+            try:
+                hoist_Fz = output_independent_of(
+                    lambda z: jax.jacfwd(_Fall_d)(z), 1, _z
+                )
+            except Exception:  # pragma: no cover
+                hoist_Fz = False
+
     def assemble_ww(z, nu, lam, penv, sFu, sFd, sc, addE1, addE2,
-                    cached=None):
+                    cached=None, pre=None):
         """KKT matrix + derivatives for the active branch (no solves).
         Exposed as ``solve._assemble_ww`` for build-time structure
         probing (kkt/structure.py) — same hook as build_ipm's."""
+        pre = pre or {}
         Fu, Fd, Fall, Gall, Lf, Lg, stat = scaled_fns(penv, sFu, sFd, sc)
         if cached is not None:
             # (stat, Fall, Gall at this iterate) computed once by the
@@ -175,11 +242,21 @@ def build_equilibrium_ipm(fns: _EqFns, dims, opts: SolverOptions,
             sv = stat(z, nu, lam)
             Fv = Fall(z)
             Gv = Gall(z)
-        Sz = jax.jacfwd(stat, argnums=0)(z, nu, lam)
-        Sn = jax.jacfwd(stat, argnums=1)(z, nu, lam)
-        Sl = jax.jacfwd(stat, argnums=2)(z, nu, lam)
-        Gz = jax.jacfwd(Gall)(z) if nGres else jnp.zeros((0, nZ), dt)
-        Fz = jax.jacfwd(Fall)(z) if nF else jnp.zeros((0, nZ), dt)
+        Sz = pre.get("Sz")
+        if Sz is None:
+            Sz = jax.jacfwd(stat, argnums=0)(z, nu, lam)
+        Sn = pre.get("Sn")
+        if Sn is None:
+            Sn = jax.jacfwd(stat, argnums=1)(z, nu, lam)
+        Sl = pre.get("Sl")
+        if Sl is None:
+            Sl = jax.jacfwd(stat, argnums=2)(z, nu, lam)
+        Gz = pre.get("Gz")
+        if Gz is None:
+            Gz = jax.jacfwd(Gall)(z) if nGres else jnp.zeros((0, nZ), dt)
+        Fz = pre.get("Fz")
+        if Fz is None:
+            Fz = jax.jacfwd(Fall)(z) if nF else jnp.zeros((0, nZ), dt)
 
         if opts.smallerNewtonMatrix and nF:
             # condensed system: eliminate dLambda
@@ -251,9 +328,9 @@ def build_equilibrium_ipm(fns: _EqFns, dims, opts: SolverOptions,
         return kkt_factorize(WW, need_inertia=False)
 
     def compute_direction(z, nu, lam, mu, penv, sFu, sFd, sc,
-                          addE1, addE2, cached=None):
+                          addE1, addE2, cached=None, pre=None):
         a = assemble_ww(z, nu, lam, penv, sFu, sFd, sc, addE1, addE2,
-                        cached=cached)
+                        cached=cached, pre=pre)
         sv, Fv, Gv = a["sv"], a["Fv"], a["Gv"]
         Sl, Gz, Fz = a["Sl"], a["Gz"], a["Fz"]
         _, _, Fall, _, _, _, _ = scaled_fns(penv, sFu, sFd, sc)
@@ -282,11 +359,24 @@ def build_equilibrium_ipm(fns: _EqFns, dims, opts: SolverOptions,
                     jnp.minimum(maxAlphaP_a, opts.alphaMax), maxAlphaDI_a
                 )
 
-                def minF_a(alpha):
-                    return jnp.min(Fall(z + alpha * dZ_a))
+                if hoist_Fz and opts.linesearch_affine_F:
+                    # F affine in z (certified at build): one broadcast, exact
+                    FdZ_a = Fz @ dZ_a
+
+                    def minF_a(alpha):
+                        return jnp.min(Fv + alpha * FdZ_a)
+                else:
+                    FdZ_a = None
+
+                    def minF_a(alpha):
+                        return jnp.min(Fall(z + alpha * dZ_a))
 
                 alpha_a = line_search_affine(minF_a, aMax, opts, dt)
-                newF_a = Fall(z + alpha_a * dZ_a)
+                newF_a = (
+                    Fv + alpha_a * FdZ_a
+                    if FdZ_a is not None
+                    else Fall(z + alpha_a * dZ_a)
+                )
                 newLam_a = lam + alpha_a * dLam_a
                 gap_now = lam @ Fv
                 rho = (newF_a @ newLam_a) / gap_now
@@ -309,7 +399,7 @@ def build_equilibrium_ipm(fns: _EqFns, dims, opts: SolverOptions,
                 dxz = fac_s.solve(b_s)
                 dZ_s = dxz[:nZ]
                 dLam = muF2 - lam - LFF @ dZ_s - Meh
-            derr = _norminf(WWs @ dxz - b_s)
+            derr = _norminf(hdot(WWs, dxz) - b_s)
             dx = jnp.concatenate([dxz, dLam])
             return dx, mu_new, derr, sv, Fz, Fv, Gv
 
@@ -340,11 +430,24 @@ def build_equilibrium_ipm(fns: _EqFns, dims, opts: SolverOptions,
                 jnp.minimum(maxAlphaP_a, opts.alphaMax), maxAlphaDI_a
             )
 
-            def minF_a(alpha):
-                return jnp.min(Fall(z + alpha * dZ_a))
+            if hoist_Fz and opts.linesearch_affine_F:
+                # F affine in z (certified at build): one broadcast, exact
+                FdZ_a = Fz @ dZ_a
+
+                def minF_a(alpha):
+                    return jnp.min(Fv + alpha * FdZ_a)
+            else:
+                FdZ_a = None
+
+                def minF_a(alpha):
+                    return jnp.min(Fall(z + alpha * dZ_a))
 
             alpha_a = line_search_affine(minF_a, aMax, opts, dt)
-            newF_a = Fall(z + alpha_a * dZ_a)
+            newF_a = (
+                Fv + alpha_a * FdZ_a
+                if FdZ_a is not None
+                else Fall(z + alpha_a * dZ_a)
+            )
             newLam_a = lam + alpha_a * dLam_a
             gap_now = lam @ Fv
             rho = (newF_a @ newLam_a) / gap_now
@@ -362,7 +465,7 @@ def build_equilibrium_ipm(fns: _EqFns, dims, opts: SolverOptions,
             Meh = (Fz @ dZ_a) * dLam_a / lam
             b = jnp.concatenate([-sv, -Gv, -Fv - Meh + mu_new / lam])
             dx = fac.solve(b)
-        derr = _norminf(WW @ dx - b)
+        derr = _norminf(hdot(WW, dx) - b)
         return dx, mu_new, derr, sv, Fz, Fv, Gv
 
     def solve(z0, penv, mu0=1.0, max_iter=None, addE10=1e-9,
@@ -399,6 +502,17 @@ def build_equilibrium_ipm(fns: _EqFns, dims, opts: SolverOptions,
 
         lam0 = mu0 / Fall(z0) if nF else jnp.zeros((0,), dt)
         nu0 = jnp.ones((nNu,), dt)
+
+        # hoisted iteration-invariant Jacobians (certified at build time)
+        pre = {}
+        if hoist_S:
+            pre["Sz"] = jax.jacfwd(stat, argnums=0)(z0, nu0, lam0)
+            pre["Sn"] = jax.jacfwd(stat, argnums=1)(z0, nu0, lam0)
+            pre["Sl"] = jax.jacfwd(stat, argnums=2)(z0, nu0, lam0)
+        if hoist_Gz and nGres:
+            pre["Gz"] = jax.jacfwd(Gall)(z0)
+        if hoist_Fz and nF:
+            pre["Fz"] = jax.jacfwd(Fall)(z0)
 
         st0 = EqState(
             z=z0, nu=nu0, lam=lam0, mu=mu0,
@@ -488,7 +602,7 @@ def build_equilibrium_ipm(fns: _EqFns, dims, opts: SolverOptions,
             def direction(aE2):
                 return compute_direction(
                     z, nu, lam, mu, penv, sFu, sFd, sc, addE1, aE2,
-                    cached=cached_vals,
+                    cached=cached_vals, pre=pre,
                 )
 
             if not (opts.addEye2Hessian and opts.adjustAddEye2Hessian):
@@ -507,29 +621,44 @@ def build_equilibrium_ipm(fns: _EqFns, dims, opts: SolverOptions,
                 )
 
                 def adapt_cond(carry):
-                    k, aE, res = carry
+                    k, aE, res, derr_prev = carry
                     # NaN-safe: a NaN direction error must count as bad, or a
                     # blown-up factorization escapes the recovery loop
-                    bad = ~(res[2] < MAX_DIRECTION_ERROR) & (aE < ADDE_MAX)
-                    return (k == 0) | (bad & (k <= MAX_ADAPT_STEPS))
+                    bad = ~(res[2] < _derr_tol(dt)) & (aE < ADDE_MAX)
+                    # progress guard: only keep doubling addE2 while the
+                    # re-solves actually reduce derr.  In f32 the
+                    # factorization has an arithmetic floor (~1e-6 abs on
+                    # well-conditioned systems, worse when ||x|| is
+                    # large) that NO regularization can cross — without
+                    # this guard the loop burns all MAX_ADAPT_STEPS
+                    # re-solves every iteration (measured 20x the
+                    # per-iteration cost at B=1024 on TPU)
+                    improving = (k <= 1) | (res[2] < 0.5 * derr_prev)
+                    return (k == 0) | (
+                        bad & improving & (k <= MAX_ADAPT_STEPS)
+                    )
 
                 def adapt_body(carry):
-                    k, aE, _ = carry
+                    k, aE, res_prev, _ = carry
                     aE2 = jnp.where(
                         k == 0,
                         aE,
                         jnp.minimum(2.0 * jnp.maximum(aE, ADDE_MIN), ADDE_MAX),
                     )
                     res = direction(aE2)
-                    return k + 1, aE2, res
+                    derr_prev = jnp.where(
+                        k == 0, jnp.asarray(jnp.inf, dt), res_prev[2]
+                    )
+                    return k + 1, aE2, res, derr_prev
 
-                k, addE2, res = lax.while_loop(
+                k, addE2, res, _ = lax.while_loop(
                     adapt_cond, adapt_body,
-                    (jnp.zeros((), jnp.int32), addE2, zeros),
+                    (jnp.zeros((), jnp.int32), addE2, zeros,
+                     jnp.asarray(jnp.inf, dt)),
                 )
                 dx, mu_aff, derr, sv, Fz, Fv, Gv = res
                 addE2_next = jnp.where(
-                    (derr < MAX_DIRECTION_ERROR) & (addE2 > ADDE_MIN),
+                    (derr < _derr_tol(dt)) & (addE2 > ADDE_MIN),
                     jnp.maximum(0.75 * addE2, ADDE_MIN),
                     addE2,
                 )
@@ -539,8 +668,17 @@ def build_equilibrium_ipm(fns: _EqFns, dims, opts: SolverOptions,
             dNu = dx[nZ : nZ + nNu]
             dLam = dx[nZ + nNu :]
 
-            def minF_at(alpha):
-                return jnp.min(Fall(z + alpha * dZ)) if nF else jnp.asarray(jnp.inf, dt)
+            if nF and hoist_Fz and opts.linesearch_affine_F:
+                FzdZ = Fz @ dZ
+
+                def minF_at(alpha):
+                    return jnp.min(Fv + alpha * FzdZ)
+            else:
+                def minF_at(alpha):
+                    return (
+                        jnp.min(Fall(z + alpha * dZ))
+                        if nF else jnp.asarray(jnp.inf, dt)
+                    )
 
             nan_fail = jnp.any(jnp.isnan(dx))
             if nF == 0:
@@ -758,7 +896,10 @@ class EquilibriumSolver:
             Gd=mk_stack(Gd_e),
             H=mk_stack(H_e),
         )
-        self._solve_raw = build_equilibrium_ipm(self._fns, dims, self.opts)
+        pshapes = {p.name: p.shape for p in self.parameters}
+        self._solve_raw = build_equilibrium_ipm(
+            self._fns, dims, self.opts, param_shapes=pshapes
+        )
         # structured-KKT planning: the stacked two-player system is
         # UNSYMMETRIC, so banded structure routes to the LU variants
         # (kkt/banded_lu.py) — tridiag_lu on CPU, the batch-in-lanes
@@ -781,7 +922,8 @@ class EquilibriumSolver:
                 self.kkt_plan = plan
                 self.kkt_backend_resolved = name
                 self._solve_raw = build_equilibrium_ipm(
-                    self._fns, dims, self.opts, kkt_solver=kkt_solver
+                    self._fns, dims, self.opts, kkt_solver=kkt_solver,
+                    param_shapes=pshapes,
                 )
         self._solve_jit = jax.jit(self._solve_raw)
         self._Solution = Solution

@@ -31,28 +31,76 @@ except Exception:  # pragma: no cover
     from jax.core import Literal as _Literal  # type: ignore
 
 
+def _sub_jaxpr(eqn):
+    """The inner jaxpr of a call-like equation (pjit/closed_call), or
+    None.  Only 1:1 input-mapped calls are recursed; everything else
+    (scan/while/cond, whose carries need a fixpoint) stays opaque."""
+    j = eqn.params.get("jaxpr")
+    if j is None:
+        j = eqn.params.get("call_jaxpr")
+    if j is None:
+        return None
+    inner = j.jaxpr if hasattr(j, "jaxpr") else j
+    if len(inner.invars) != len(eqn.invars):
+        return None
+    return inner
+
+
+def _propagate(jaxpr, in_taint):
+    """Per-output taint flags for ``jaxpr`` given per-input flags.
+
+    Call-like equations (pjit — e.g. the jnp helpers jax wraps in jit)
+    are recursed into with their actual per-input taint: treating them
+    opaquely would let an untouched *primal* operand taint the tangent
+    outputs of the same call, killing certification of perfectly linear
+    functions (observed on the equilibrium MPC-MHE dynamics, where
+    ``concatenate([x0, x1])`` routes through a jitted broadcast)."""
+    tainted = {id(v) for v, t in zip(jaxpr.invars, in_taint) if t}
+    for eqn in jaxpr.eqns:
+        tin = [
+            (not isinstance(v, _Literal)) and id(v) in tainted
+            for v in eqn.invars
+        ]
+        sub = _sub_jaxpr(eqn)
+        if sub is not None:
+            tout = _propagate(sub, tin)
+            if len(tout) != len(eqn.outvars):  # pragma: no cover
+                tout = [any(tin)] * len(eqn.outvars)
+        elif (
+            eqn.primitive.name == "integer_pow"
+            and eqn.params.get("y") == 0
+        ):
+            # x**0 == 1 regardless of x: appears in second derivatives
+            # of integer powers (d2(x^2) emits 2*x^0) and would
+            # structurally taint every Hessian of a quadratic written
+            # with ** — the single value-level fact this otherwise
+            # purely structural analysis needs
+            tout = [False] * len(eqn.outvars)
+        else:
+            tout = [any(tin)] * len(eqn.outvars)
+        for v, t in zip(eqn.outvars, tout):
+            if t:
+                tainted.add(id(v))
+    return [
+        (not isinstance(v, _Literal)) and id(v) in tainted
+        for v in jaxpr.outvars
+    ]
+
+
 def output_independent_of(fn, n_tainted: int, *example_args) -> bool:
     """True if every output of ``fn(*example_args)`` is independent of
     the first ``n_tainted`` (pytree) arguments.
 
     Equations are walked in order (jaxprs are topologically sorted);
-    taint propagates through every primitive, including ones carrying
-    sub-jaxprs (scan/cond/pjit), by the sound over-approximation
-    "any tainted input taints all outputs"."""
+    taint propagates through every primitive; call-like sub-jaxprs are
+    recursed with per-input precision, everything else uses the sound
+    over-approximation "any tainted input taints all outputs"."""
     closed = jax.make_jaxpr(fn)(*example_args)
     jaxpr = closed.jaxpr
     leaf_counts = [len(tree_flatten(a)[0]) for a in example_args]
     k = sum(leaf_counts[:n_tainted])
-    tainted = {id(v) for v in jaxpr.invars[:k]}
-    for eqn in jaxpr.eqns:
-        ins = [v for v in eqn.invars if not isinstance(v, _Literal)]
-        if any(id(v) in tainted for v in ins):
-            tainted |= {id(v) for v in eqn.outvars}
-    return not any(
-        id(v) in tainted
-        for v in jaxpr.outvars
-        if not isinstance(v, _Literal)
-    )
+    in_taint = [i < k for i in range(len(jaxpr.invars))]
+    return not any(_propagate(jaxpr, in_taint))
 
 
 def analyze_hoistable(fns, nU: int, nF: int, nG: int, dt, param_shapes):

@@ -39,12 +39,24 @@ from .solver import (
     line_search_combined,
 )
 from .status import describe_status
+from ..kkt.dense import hdot
 
 # reference constants (ipmPDminmax_CSsolver.m:37-42)
 ADD_MAX = 1e2
 ADD_MIN = 1e-20
-MAX_DIRECTION_ERROR = 1e-7
+MAX_DIRECTION_ERROR = 1e-7        # f64 (reference value)
+MAX_DIRECTION_ERROR_F32 = 1e-6    # f32 fleet paths bottom out ~1e-6-1e-7
 MAX_ADAPT_STEPS = 30
+
+
+def _derr_tol(dt):
+    import jax.numpy as _jnp
+
+    return (
+        MAX_DIRECTION_ERROR
+        if _jnp.dtype(dt) == _jnp.float64
+        else MAX_DIRECTION_ERROR_F32
+    )
 
 
 class MinMaxState(NamedTuple):
@@ -67,7 +79,7 @@ class MinMaxState(NamedTuple):
 
 
 def build_minmax_ipm(fns, nUu, nD, nFu, nFd, nGu, nGd, opts: SolverOptions,
-                     kkt_solver=None):
+                     kkt_solver=None, param_shapes=None):
     """fns: namedtuple-ish with f(z,penv), Fu, Fd, Gu, Gd all (z,penv)->vec.
 
     ``kkt_solver`` optionally replaces the dense factorization of the
@@ -128,11 +140,56 @@ def build_minmax_ipm(fns, nUu, nD, nFu, nFd, nGu, nGd, opts: SolverOptions,
     mp_desired = float(nUu + nGd + nFd)
     mn_desired = float(nD)
 
+    # build-time certification of iteration-invariant derivative
+    # matrices (same jaxpr taint analysis as build_ipm /
+    # build_equilibrium_ipm; ipm/hoist.py)
+    hoist_H = hoist_Gz = hoist_Fz = False
+    if param_shapes is not None:
+        from .hoist import output_independent_of
+
+        _penv_d = {k: jnp.zeros(sh, dt) for k, sh in param_shapes.items()}
+        _fns_d = scaled_fns(
+            _penv_d, jnp.ones((nFu,), dt), jnp.ones((nFd,), dt),
+            jnp.ones((), dt),
+        )
+        _, _Fu_d, _Fd_d, _, _Gall_d, _lagr_d = _fns_d
+        _z = jnp.zeros((nZ,), dt)
+        _nu = jnp.zeros((nG,), dt)
+        _lam = jnp.ones((nF,), dt)
+        try:
+            hoist_H = output_independent_of(
+                lambda z, nu, lam: jax.jacfwd(
+                    jax.grad(_lagr_d, argnums=0), argnums=0
+                )(z, nu, lam),
+                3, _z, _nu, _lam,
+            )
+        except Exception:  # pragma: no cover
+            hoist_H = False
+        if nG:
+            try:
+                hoist_Gz = output_independent_of(
+                    lambda z: jax.jacfwd(_Gall_d)(z), 1, _z
+                )
+            except Exception:  # pragma: no cover
+                hoist_Gz = False
+        if nF:
+            try:
+                hoist_Fz = output_independent_of(
+                    lambda z: (
+                        jax.jacfwd(_Fu_d)(z) if nFu else jnp.zeros((0, nZ), dt),
+                        jax.jacfwd(_Fd_d)(z) if nFd else jnp.zeros((0, nZ), dt),
+                    ),
+                    1, _z,
+                )
+            except Exception:  # pragma: no cover
+                hoist_Fz = False
+
     def assemble_ww(z, nu, lam, mu, addU, addD, addEq, penv, sFu, sFd,
-                    sc, cached=None):
+                    sc, cached=None, pre=None):
         """Saddle KKT matrix + derivatives (no solves).  Exposed as
         ``solve._assemble_ww`` for build-time structure probing
         (kkt/structure.py) — the games' analog of build_ipm's hook."""
+        pre = pre or {}
         f, Fu, Fd, Fall, Gall, lagr = scaled_fns(penv, sFu, sFd, sc)
         if cached is not None:
             # (grad_z, Fall(z), Gall(z)) computed once by the driver's
@@ -141,14 +198,20 @@ def build_minmax_ipm(fns, nUu, nD, nFu, nFd, nGu, nGd, opts: SolverOptions,
         else:
             grad_z = jax.grad(lagr, argnums=0)(z, nu, lam)
             Fallv_c = Gv_c = None
-        H = jax.jacfwd(jax.grad(lagr, argnums=0), argnums=0)(z, nu, lam)
-        H = 0.5 * (H + H.T)
+        H = pre.get("H")
+        if H is None:
+            H = jax.jacfwd(jax.grad(lagr, argnums=0), argnums=0)(z, nu, lam)
+            H = 0.5 * (H + H.T)
         # saddle regularization: +addU on u block, -addD on d block
         # (ipmPDminmax_CS.m:214-216)
         WWUD = H + jnp.diag(addU * diagU - addD * diagD)
-        Gz = jax.jacfwd(Gall)(z) if nG else jnp.zeros((0, nZ), dt)
-        Fuz = jax.jacfwd(Fu)(z) if nFu else jnp.zeros((0, nZ), dt)
-        Fdz = jax.jacfwd(Fd)(z) if nFd else jnp.zeros((0, nZ), dt)
+        Gz = pre.get("Gz")
+        if Gz is None:
+            Gz = jax.jacfwd(Gall)(z) if nG else jnp.zeros((0, nZ), dt)
+        Fuz, Fdz = pre.get("Fuz"), pre.get("Fdz")
+        if Fuz is None or Fdz is None:
+            Fuz = jax.jacfwd(Fu)(z) if nFu else jnp.zeros((0, nZ), dt)
+            Fdz = jax.jacfwd(Fd)(z) if nFd else jnp.zeros((0, nZ), dt)
         Fz_signed = jnp.concatenate([-Fuz, Fdz], axis=0)
         if Fallv_c is not None:
             Fuv, Fdv = Fallv_c[:nFu], Fallv_c[nFu:]
@@ -183,9 +246,9 @@ def build_minmax_ipm(fns, nUu, nD, nFu, nFd, nGu, nGd, opts: SolverOptions,
         return KKTFactorization("ldl", L, dfac)
 
     def compute_direction(z, nu, lam, mu, addU, addD, addEq, penv, sFu, sFd,
-                          sc, need_inertia: bool, cached=None):
+                          sc, need_inertia: bool, cached=None, pre=None):
         a = assemble_ww(z, nu, lam, mu, addU, addD, addEq, penv, sFu, sFd,
-                        sc, cached=cached)
+                        sc, cached=cached, pre=pre)
         WW, WWUD, grad_z = a["WW"], a["WWUD"], a["grad_z"]
         Gz, Fuz, Fdz = a["Gz"], a["Fuz"], a["Fdz"]
         Fuv, Fdv, Gv = a["Fuv"], a["Fdv"], a["Gv"]
@@ -200,7 +263,7 @@ def build_minmax_ipm(fns, nUu, nD, nFu, nFd, nGu, nGd, opts: SolverOptions,
         )
         fac = _factor(WW)
         dx = fac.solve(b)
-        derr = _norminf(WW @ dx - b)
+        derr = _norminf(hdot(WW, dx) - b)
         if need_inertia:
             # full-matrix inertia (getHessUinertia__) from the WW factor
             from ..kkt.dense import ldl_inertia
@@ -270,6 +333,23 @@ def build_minmax_ipm(fns, nUu, nD, nFu, nFd, nGu, nGd, opts: SolverOptions,
 
         lam0 = mu0 / Fall(z0) if nF else jnp.zeros((0,), dt)
         nu0 = jnp.ones((nG,), dt)
+
+        # hoisted iteration-invariant derivatives (certified at build)
+        pre = {}
+        if hoist_H:
+            _H0 = jax.jacfwd(jax.grad(lagr, argnums=0), argnums=0)(
+                z0, nu0, lam0
+            )
+            pre["H"] = 0.5 * (_H0 + _H0.T)
+        if hoist_Gz and nG:
+            pre["Gz"] = jax.jacfwd(Gall)(z0)
+        if hoist_Fz and nF:
+            pre["Fuz"] = (
+                jax.jacfwd(Fu)(z0) if nFu else jnp.zeros((0, nZ), dt)
+            )
+            pre["Fdz"] = (
+                jax.jacfwd(Fd)(z0) if nFd else jnp.zeros((0, nZ), dt)
+            )
 
         st0 = MinMaxState(
             z=z0, nu=nu0, lam=lam0, mu=mu0,
@@ -353,7 +433,7 @@ def build_minmax_ipm(fns, nUu, nD, nFu, nFd, nGu, nGd, opts: SolverOptions,
             def direction(aU, aD, aE):
                 return compute_direction(
                     z, nu, lam, mu, aU, aD, aE, penv, sFu, sFd, sc,
-                    need_inertia=adj, cached=cached_vals,
+                    need_inertia=adj, cached=cached_vals, pre=pre,
                 )
 
             if not adj:
@@ -382,23 +462,31 @@ def build_minmax_ipm(fns, nUu, nD, nFu, nFd, nGu, nGd, opts: SolverOptions,
                     good = (
                         (mpU == mp_desired)
                         & (mnD == mn_desired)
-                        & (derr <= MAX_DIRECTION_ERROR)
+                        & (derr <= _derr_tol(dt))
                     )
                     incU = (mpU < mp_desired) & (aU < ADD_MAX)
                     incD = (mnD < mn_desired) & (aD < ADD_MAX)
                     # NaN-safe: NaN derr counts as too large
-                    incE = ~(derr <= MAX_DIRECTION_ERROR) & (aE < ADD_MAX)
+                    incE = ~(derr <= _derr_tol(dt)) & (aE < ADD_MAX)
                     return good, incU, incD, incE
 
                 def adapt_cond(carry):
-                    k, aU, aD, aE, res = carry
+                    k, aU, aD, aE, res, derr_prev = carry
                     good, incU, incD, incE = flags(res, aU, aD, aE)
+                    # progress guard on the derr-driven retries: in f32
+                    # the factorization has an arithmetic floor that no
+                    # addEq can cross — keep re-solving only while derr
+                    # actually improves (inertia-driven retries incU/incD
+                    # are not gated: raising the regularization reliably
+                    # fixes wrong inertia)
+                    derr_ok = (k <= 1) | (res[1] < 0.5 * derr_prev)
+                    drive = incU | incD | (incE & derr_ok)
                     return (k == 0) | (
-                        ~good & (incU | incD | incE) & (k <= MAX_ADAPT_STEPS)
+                        ~good & drive & (k <= MAX_ADAPT_STEPS)
                     )
 
                 def adapt_body(carry):
-                    k, aU, aD, aE, res = carry
+                    k, aU, aD, aE, res, _ = carry
                     _, incU, incD, incE = flags(res, aU, aD, aE)
                     first = k == 0
                     aU2 = jnp.where(
@@ -416,13 +504,17 @@ def build_minmax_ipm(fns, nUu, nD, nFu, nFd, nGu, nGd, opts: SolverOptions,
                         jnp.minimum(10.0 * jnp.maximum(aE, ADD_MIN), ADD_MAX),
                         aE,
                     )
+                    derr_prev = jnp.where(
+                        first, jnp.asarray(jnp.inf, dt), res[1]
+                    )
                     res = direction(aU2, aD2, aE2)
-                    return k + 1, aU2, aD2, aE2, res
+                    return k + 1, aU2, aD2, aE2, res, derr_prev
 
-                k, addU, addD, addEq, res = lax.while_loop(
+                k, addU, addD, addEq, res, _ = lax.while_loop(
                     adapt_cond,
                     adapt_body,
-                    (jnp.zeros((), jnp.int32), addU, addD, addEq, zeros),
+                    (jnp.zeros((), jnp.int32), addU, addD, addEq, zeros,
+                     jnp.asarray(jnp.inf, dt)),
                 )
                 dx, derr, mpU, mnD, grad_z, Fz, Fv, Gv = res
                 # delayed decrease once all checks pass (next iteration)
@@ -662,9 +754,10 @@ class MinMaxSolver:
         self._fns = _MinMaxFns(
             f=f_fn, Fu=mk(Fu_e), Fd=mk(Fd_e), Gu=mk(Gu_e), Gd=mk(Gd_e)
         )
+        pshapes = {pp.name: pp.shape for pp in self.parameters}
         self._solve_raw = build_minmax_ipm(
             self._fns, self.nUu, self.nD, self.nFu, self.nFd,
-            self.nGu, self.nGd, self.opts,
+            self.nGu, self.nGd, self.opts, param_shapes=pshapes,
         )
         # structured-KKT planning (round-2 judge item #2: the games get
         # the same structure probe + fleet machinery as optimize)
@@ -690,6 +783,7 @@ class MinMaxSolver:
                 self._solve_raw = build_minmax_ipm(
                     self._fns, self.nUu, self.nD, self.nFu, self.nFd,
                     self.nGu, self.nGd, self.opts, kkt_solver=kkt_solver,
+                    param_shapes=pshapes,
                 )
         self._solve_jit = jax.jit(self._solve_raw)
         self._Solution = Solution

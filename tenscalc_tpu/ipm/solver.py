@@ -32,6 +32,7 @@ from jax import lax
 
 from ..kkt.dense import kkt_factorize, ldl_factor, ldl_inertia, ldl_solve
 from .options import SolverOptions
+from ..kkt.dense import hdot
 
 STEPBACK = 0.99  # reference: stepback=.99, lib/ipmPD_CSsolver.c:174
 
@@ -108,6 +109,7 @@ class Direction(NamedTuple):
     mn: jax.Array         # negative inertia count
     dU_a: jax.Array       # affine direction (zeros when skipAffine)
     dLambda_a: jax.Array
+    mu_new: jax.Array     # sigma-updated mu (Mehrotra); mu when skipAffine
 
 
 def _norminf(x):
@@ -329,18 +331,26 @@ def build_ipm(
         )
 
     def compute_direction(u, nu, lam, mu, addU, addEq, penv, scale_ineq,
-                          scale_cost, pre=None, cached=None):
+                          scale_cost, pre=None, cached=None,
+                          mehrotra_mu=None):
+        """``mehrotra_mu``: optional callback
+        ``(dU_a, dLambda_a, Fu, Fval) -> mu'`` invoked between the
+        affine and combined solves.  The reference's reactive dataflow
+        computes the affine direction, runs the affine line search,
+        calls ``setMu__`` with the sigma-updated mu, and only then
+        evaluates the combined direction — so the corrector rhs uses the
+        NEW mu (lib/ipmPD_CSsolver.c:576-665 + the group invalidation of
+        writeCfunctionpergroup.m:44).  Lagging the update by one
+        iteration (the previous behavior) diverges on curvature-poor
+        problems like robustRegressL1."""
         a = assemble_ww(u, nu, lam, mu, addU, addEq, penv, scale_ineq,
                         scale_cost, pre=pre, cached=cached)
         WW, WW11 = a["WW"], a["WW11"]
         grad_u, Fu, Gu = a["grad_u"], a["Fu"], a["Gu"]
         Fval, Gval, muF, LPG = a["Fval"], a["Gval"], a["muF"], a["LPG"]
+        mu_new = mu
 
         if small:
-            # rhs via the Lagrangian-gradient identity
-            # f_u + Gu'nu = grad_u + Fu'lam  (one reverse pass, not two)
-            r1 = -grad_u - (Fu.T @ (lam - muF) if nF > 0 else 0.0)
-            b = jnp.concatenate([r1, -Gval])
             fac = _factor(WW)
             if not opts.skipAffine:
                 b_a = jnp.concatenate(
@@ -351,14 +361,29 @@ def build_ipm(
                 dLambda_a = (
                     -LPG @ dU_a - lam if nF > 0 else jnp.zeros((0,), dt)
                 )
-                # Mehrotra correction (lib/ipmPD_CS.m:319-322)
-                Meh = (Fu @ dU_a) * dLambda_a / Fval if nF > 0 else jnp.zeros((0,), dt)
-                b = b.at[:nU].add(-(Fu.T @ Meh) if nF > 0 else 0.0)
+                use_corr = jnp.ones((), dt)
+                if mehrotra_mu is not None:
+                    mu_new, use_corr = mehrotra_mu(dU_a, dLambda_a, Fu, Fval)
+                muF_c = mu_new / Fval if nF > 0 else muF
+                # Mehrotra correction (lib/ipmPD_CS.m:319-322), gated on
+                # a useful affine step (see mehrotra_mu)
+                Meh = (
+                    use_corr * (Fu @ dU_a) * dLambda_a / Fval
+                    if nF > 0 else jnp.zeros((0,), dt)
+                )
+                r1 = -grad_u - (Fu.T @ (lam - muF_c + Meh) if nF > 0 else 0.0)
+                b = jnp.concatenate([r1, -Gval])
+            else:
+                # rhs via the Lagrangian-gradient identity
+                # f_u + Gu'nu = grad_u + Fu'lam  (one reverse pass, not two)
+                muF_c = muF
+                r1 = -grad_u - (Fu.T @ (lam - muF) if nF > 0 else 0.0)
+                b = jnp.concatenate([r1, -Gval])
             dx = fac.solve(b)
             dU = dx[:nU]
             dNu = dx[nU:]
             if nF > 0:
-                dLambda = muF - LPG @ dU - lam
+                dLambda = muF_c - LPG @ dU - lam
                 if not opts.skipAffine:
                     dLambda = dLambda - Meh
             else:
@@ -386,8 +411,11 @@ def build_ipm(
                     dx_a = fac.solve(b_a)
                     dU_a = dx_a[:nU]
                     dLambda_a = dx_a[nU + nG:]
+                    use_corr = jnp.ones((), dt)
+                    if mehrotra_mu is not None:
+                        mu_new, use_corr = mehrotra_mu(dU_a, dLambda_a, Fu, Fval)
                     corr = (
-                        (Fu @ dU_a) * dLambda_a / lam - mu / lam
+                        use_corr * (Fu @ dU_a) * dLambda_a / lam - mu_new / lam
                         if nF > 0
                         else jnp.zeros((0,), dt)
                     )
@@ -397,10 +425,11 @@ def build_ipm(
             dNu = dx[nU : nU + nG]
             dLambda = dx[nU + nG :]
 
-        derr = _norminf(WW @ dx - b)
+        derr = _norminf(hdot(WW, dx) - b)
         curvature = dU @ (WW11 @ dU)
         mp, mn = fac.inertia()
-        return Direction(dU, dNu, dLambda, derr, curvature, mp, mn, dU_a, dLambda_a), (
+        return Direction(dU, dNu, dLambda, derr, curvature, mp, mn, dU_a,
+                         dLambda_a, mu_new), (
             grad_u,
             Fu,
             Fval,
@@ -656,13 +685,81 @@ def build_ipm(
             u, nu, lam, mu = st.u, st.nu, st.lam, st.mu
             addU, addEq = st.addU, st.addEq
 
+            def mehrotra_mu(dU_a, dLambda_a, Fu_, Fval_):
+                # affine line search + sigma = rho^delta mu update,
+                # applied BEFORE the combined solve exactly as the
+                # reference's reactive groups do
+                # (lib/ipmPD_CSsolver.c:579-665)
+                FdU_a = Fu_ @ dU_a
+                maxAlphaP_a = _clp(Fval_, FdU_a)
+                maxAlphaDI_a = _clp(lam, dLambda_a)
+                aMax = jnp.minimum(
+                    jnp.minimum(maxAlphaP_a, opts.alphaMax), maxAlphaDI_a
+                )
+                if hoist_Fu and opts.linesearch_affine_F:
+                    def minF_a(alpha):
+                        return jnp.min(Fval_ + alpha * FdU_a)
+                else:
+                    def minF_a(alpha):
+                        return jnp.min(Fs(u + alpha * dU_a))
+                alpha_a = line_search_a(minF_a, aMax)
+                newF_a = (
+                    Fval_ + alpha_a * FdU_a
+                    if hoist_Fu and opts.linesearch_affine_F
+                    else Fs(u + alpha_a * dU_a)
+                )
+                newLam_a = lam + alpha_a * dLambda_a
+                rho = (newF_a @ newLam_a) / gap
+                sigma = jnp.clip(rho, 0.0, 1.0)
+                sigma = sigma**2 if opts.delta == 2 else sigma**3
+                eq_ok = (
+                    jnp.asarray(True)
+                    if nG == 0
+                    else (norminf_eq < 100 * opts.equalTolerance)
+                    | (norminf_eq < 1e-3)
+                )
+                do_sigma = (alpha_a > opts.alphaMax / 2) & eq_ok
+                # rate-limit the sigma decrease to the aggressive
+                # factor: sigma = rho^3 after one long affine step can
+                # crush mu orders of magnitude while the iterate is
+                # still far from optimal (sls cold start: mu hit 1e-5
+                # at |grad| = 64, then ~25 fraction-to-boundary-limited
+                # iterations), so one iteration may cut mu by at most
+                # min(muFactorAggressive, sqrt(mu)) — the same bound the
+                # reference's aggressive branch uses
+                # (lib/ipmPD_CSsolver.c:787-800).
+                mu_floor = mu * jnp.minimum(
+                    opts.muFactorAggressive, jnp.sqrt(mu)
+                )
+                mu_c = jnp.where(
+                    do_sigma,
+                    jnp.maximum(
+                        jnp.maximum(sigma * gap / nF, mu_floor), mu_min
+                    ),
+                    mu,
+                )
+                # the second-order corrector is only trustworthy when
+                # the affine prediction was useful (long affine step):
+                # an almost-rejected affine direction produces a
+                # corrector that points far outside the trust region and
+                # can diverge curvature-poor problems (robustRegressL1).
+                # The same gate the reference applies to sigma is
+                # applied to the corrector (production IPMs gate the
+                # corrector similarly).
+                use_corr = do_sigma.astype(dt)
+                return mu_c, use_corr
+
+            meh = (
+                mehrotra_mu if (not opts.skipAffine and nF > 0) else None
+            )
+
             def direction(aU, aE):
                 # cached_vals (grad_u/Fval/Gval at this iterate, computed
                 # by the exit tests) are independent of the aU/aE
                 # regularizations, so they stay valid across the adapt loop
                 return compute_direction(
                     u, nu, lam, mu, aU, aE, penv, scale_ineq, scale_cost,
-                    pre=pre, cached=cached_vals,
+                    pre=pre, cached=cached_vals, mehrotra_mu=meh,
                 )
 
             addU_next, addEq_next = addU, addEq
@@ -796,47 +893,9 @@ def build_ipm(
                 new_lam = lam
                 new_mu = mu
             else:
-                new_mu = mu
-                if not opts.skipAffine:
-                    # affine step + sigma mu update
-                    # (lib/ipmPD_CSsolver.c:579-665)
-                    dU_a, dLambda_a = dirn.dU_a, dirn.dLambda_a
-                    FdU_a = Fu @ dU_a
-                    maxAlphaP_a = _clp(Fval, FdU_a)
-                    maxAlphaDI_a = _clp(lam, dLambda_a)
-                    aMax = jnp.minimum(
-                        jnp.minimum(maxAlphaP_a, opts.alphaMax), maxAlphaDI_a
-                    )
-
-                    if F_affine:
-                        def minF_a(alpha):
-                            return jnp.min(Fval + alpha * FdU_a)
-                    else:
-                        def minF_a(alpha):
-                            return jnp.min(Fs(u + alpha * dU_a))
-
-                    alpha_a = line_search_a(minF_a, aMax)
-                    newF_a = (
-                        Fval + alpha_a * FdU_a
-                        if F_affine
-                        else Fs(u + alpha_a * dU_a)
-                    )
-                    newLam_a = lam + alpha_a * dLambda_a
-                    rho = (newF_a @ newLam_a) / gap
-                    sigma = jnp.clip(rho, 0.0, 1.0)
-                    sigma = sigma**2 if opts.delta == 2 else sigma**3
-                    eq_ok = (
-                        jnp.asarray(True)
-                        if nG == 0
-                        else (norminf_eq < 100 * opts.equalTolerance)
-                        | (norminf_eq < 1e-3)
-                    )
-                    do_sigma = (alpha_a > opts.alphaMax / 2) & eq_ok
-                    new_mu = jnp.where(
-                        do_sigma,
-                        jnp.maximum(sigma * gap / nF, mu_min),
-                        mu,
-                    )
+                # Mehrotra: mu was sigma-updated inside compute_direction
+                # (before the combined solve); carry it into the state
+                new_mu = dirn.mu_new
 
                 # combined-direction fraction-to-boundary + backtracking
                 maxAlphaPrimal = _clp(Fval, Fu @ dU)
@@ -866,37 +925,48 @@ def build_ipm(
                 else:
                     new_lam = lam + alphaDualIneq * dLambda
 
-                # mu update, skipAffine branch (lib/ipmPD_CSsolver.c:782-859)
+                # mu schedule (lib/ipmPD_CSsolver.c:782-859).  With
+                # skipAffine this IS the mu update; with Mehrotra it is
+                # the FALLBACK for iterations where the sigma update did
+                # not fire (short affine step / large eq residual) — the
+                # reference freezes mu there, which stalls cold starts
+                # whose affine steps are fraction-to-boundary-limited
+                # for many iterations (sls: 54 frozen vs 13 with the
+                # fallback).
+                th_grad = norminf_grad < jnp.maximum(1e-6, opts.gradTolerance)
+                th_eq = (
+                    jnp.asarray(True)
+                    if nG == 0
+                    else norminf_eq < jnp.maximum(1e-5, opts.equalTolerance)
+                )
+                aggressive = (alphaPrimal > alpha_bt / 2) & th_grad & th_eq
+                mu_aggr = jnp.maximum(
+                    mu * jnp.minimum(opts.muFactorAggressive, jnp.sqrt(mu)),
+                    mu_min,
+                )
+                tiny_alpha = alphaPrimal < 0.1
+                mu_tiny = jnp.minimum(mu * 1.1, mu0)
+                conservative = (alphaPrimal > 0.99) & th_eq
+                mu_cons = jnp.maximum(mu * opts.muFactorConservative, mu_min)
+                mu_sched = jnp.where(
+                    aggressive,
+                    mu_aggr,
+                    jnp.where(
+                        tiny_alpha,
+                        mu_tiny,
+                        jnp.where(conservative, mu_cons, mu),
+                    ),
+                )
                 if opts.skipAffine:
-                    th_grad = norminf_grad < jnp.maximum(1e-6, opts.gradTolerance)
-                    th_eq = (
-                        jnp.asarray(True)
-                        if nG == 0
-                        else norminf_eq < jnp.maximum(1e-5, opts.equalTolerance)
-                    )
-                    aggressive = (alphaPrimal > alpha_bt / 2) & th_grad & th_eq
-                    mu_aggr = jnp.maximum(
-                        mu * jnp.minimum(opts.muFactorAggressive, jnp.sqrt(mu)),
-                        mu_min,
-                    )
-                    tiny_alpha = alphaPrimal < 0.1
-                    mu_tiny = jnp.minimum(mu * 1.1, mu0)
-                    conservative = (alphaPrimal > 0.99) & th_eq
-                    mu_cons = jnp.maximum(mu * opts.muFactorConservative, mu_min)
-                    new_mu = jnp.where(
-                        aggressive,
-                        mu_aggr,
-                        jnp.where(
-                            tiny_alpha,
-                            mu_tiny,
-                            jnp.where(conservative, mu_cons, mu),
-                        ),
-                    )
+                    new_mu = mu_sched
                     # on tiny alpha the reference also re-initializes lambda
                     # (initDualIneq__, lib/ipmPD_CSsolver.c:816)
                     new_lam = jnp.where(
                         tiny_alpha, mu_tiny / Fs(new_u), new_lam
                     )
+                else:
+                    sigma_fired = dirn.mu_new != mu
+                    new_mu = jnp.where(sigma_fired, dirn.mu_new, mu_sched)
 
                 # stall escape (lib/ipmPD_CSsolver.c:853-859)
                 stalled = (

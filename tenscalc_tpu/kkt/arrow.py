@@ -28,6 +28,7 @@ import numpy as np
 
 from .structure import BandedPlan, plan_banded
 from .tridiag import TridiagFactorization, _factor_dtype, tridiag_factorize
+from .dense import hdot
 
 
 @dataclasses.dataclass
@@ -107,7 +108,7 @@ class ArrowFactorization:
         dt = rhs.dtype
         x = self._solve32(rhs).astype(dt)
         for _ in range(self.n_refine):
-            x = x + self._solve32(rhs - self.WW @ x).astype(dt)
+            x = x + self._solve32(rhs - hdot(self.WW, x)).astype(dt)
         return x
 
     def inertia(self, tol: float = 0.0):

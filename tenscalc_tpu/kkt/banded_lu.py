@@ -35,6 +35,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .fleet_banded import TILE, _pad_w, _win
 from .structure import BandedPlan
+from .dense import hdot
 
 
 # ---------------------------------------------------------------------------
@@ -121,7 +122,7 @@ class TridiagLUFactorization:
         dt = rhs.dtype
         x = self._solve32(rhs).astype(dt)
         for _ in range(self.n_refine):
-            x = x + self._solve32(rhs - self.WW @ x).astype(dt)
+            x = x + self._solve32(rhs - hdot(self.WW, x)).astype(dt)
         return x
 
     def inertia(self, tol: float = 0.0):
@@ -491,7 +492,7 @@ class FleetBandedLUFactorization:
         dt = rhs.dtype
         x = self._solve32(rhs).astype(dt)
         for _ in range(self.n_refine):
-            x = x + self._solve32(rhs - self.WW @ x).astype(dt)
+            x = x + self._solve32(rhs - hdot(self.WW, x)).astype(dt)
         return x
 
     def inertia(self, tol: float = 0.0):

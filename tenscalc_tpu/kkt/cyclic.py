@@ -28,6 +28,7 @@ import numpy as np
 from jax import lax
 
 from .structure import BandedPlan
+from .dense import hdot
 
 
 def _solve_blocks(A, R):
@@ -192,7 +193,7 @@ class CyclicFactorization:
         x = cr_solve_permuted(self.WW, self.plan, rhs, dtype=self.WW.dtype).astype(dt)
         for _ in range(self.n_refine):
             x = x + cr_solve_permuted(
-                self.WW, self.plan, rhs - self.WW @ x, dtype=self.WW.dtype
+                self.WW, self.plan, rhs - hdot(self.WW, x), dtype=self.WW.dtype
             ).astype(dt)
         return x
 

@@ -31,6 +31,22 @@ import jax.numpy as jnp
 from jax import lax
 
 
+def hdot(A: jax.Array, x: jax.Array) -> jax.Array:
+    """Matmul at HIGHEST precision.
+
+    On TPU, f32 ``@`` lowers to bf16 MXU passes (~8-bit mantissa) by
+    default.  That is fine for bulk Hessian/Jacobian assembly, but
+    *refinement residuals* (``rhs - WW @ x``) and the *direction-error
+    metric* (``||WW dx - b||_inf``, gated at maxDirectionError=1e-6,
+    lib/ipmPD_CSsolver.c:393-548) must be computed exactly: a rounded
+    residual caps the mixed-precision solve at bf16 accuracy, and a
+    rounded metric can never pass the 1e-6 gate once ``WW`` carries the
+    large lambda/F entries of a warm start, ratcheting addEye2Hessian to
+    its ceiling (status 2048).  These are O(n^2) matvecs — exactness,
+    not throughput, is the point.  On CPU this is a no-op."""
+    return jnp.matmul(A, x, precision=jax.lax.Precision.HIGHEST)
+
+
 def ldl_factor_unblocked(A: jax.Array) -> tuple[jax.Array, jax.Array]:
     """Column-by-column unpivoted LDL^T: A = L diag(d) L^T.
 
@@ -55,9 +71,20 @@ def ldl_factor_unblocked(A: jax.Array) -> tuple[jax.Array, jax.Array]:
     return L + jnp.eye(n, dtype=A.dtype), d
 
 
+_UNROLL_MAX = 64  # static unroll bound: ~6 ops/step, trace stays small
+
+
 def _ldl_block(M: jax.Array, clamp: float = 0.0) -> tuple[jax.Array, jax.Array]:
-    """Unblocked LDL of a small b x b block (fori_loop keeps the traced
-    graph small — compile time matters as much as runtime here).
+    """Unblocked LDL of a small b x b block.
+
+    For b <= 64 the elimination is STATICALLY UNROLLED: on TPU every
+    ``lax.fori_loop`` iteration costs ~2-5 us of loop/region overhead
+    (measured: a 32-step fori LDL of a 32x32 KKT ran at ~77 us while the
+    arithmetic is ~10 us), so a python-range loop that XLA fuses into
+    straight-line code is the single-instance fast path — the exact
+    analog of the reference's unrolled scalar LDL
+    (lib/@csparse/sparsity_ldl.m:161-222).  Larger blocks keep the
+    fori_loop to bound trace size.
 
     ``clamp > 0`` applies Cheng-Higham-style pivot modification:
     d_j <- sign(d_j) max(|d_j|, clamp), bounding elimination growth on
@@ -79,9 +106,13 @@ def _ldl_block(M: jax.Array, clamp: float = 0.0) -> tuple[jax.Array, jax.Array]:
         M = M - dj * jnp.outer(col, col)
         return L, d, M
 
-    L, d, _ = lax.fori_loop(
-        0, b, body, (jnp.zeros_like(M), jnp.zeros(b, dtype=M.dtype), M)
-    )
+    carry = (jnp.zeros_like(M), jnp.zeros(b, dtype=M.dtype), M)
+    if b <= _UNROLL_MAX:
+        for j in range(b):
+            carry = body(j, carry)
+        L, d, _ = carry
+    else:
+        L, d, _ = lax.fori_loop(0, b, body, carry)
     return L + jnp.eye(b, dtype=M.dtype), d
 
 
@@ -129,7 +160,8 @@ def ldl_factor(A: jax.Array, block: int = 64, clamp: float = 0.0) -> tuple[jax.A
         below = rows[:, None] >= (j0 + block)
         Xm = jnp.where(below, X, 0.0)
         # trailing update: M -= Xm * dk * Xm^T  (one MXU matmul)
-        M = M - (Xm * dk[None, :]) @ Xm.T
+        M = M - jnp.matmul(Xm * dk[None, :], Xm.T,
+                           precision=jax.lax.Precision.HIGHEST)
         # write L panel (unit diagonal handled at the end)
         Lpanel = jnp.where(below, X, 0.0)
         Lpanel = lax.dynamic_update_slice(
@@ -219,7 +251,7 @@ class KKTFactorization:
 
             x = solve32(rhs)
             for _ in range(self.n_refine):
-                x = x + solve32(rhs - self.WW @ x)
+                x = x + solve32(rhs - hdot(self.WW, x))
             return x
         if self.kind == "lu_ir":
             # mixed-precision solve: O(n^3) factorization ran in f32 on
@@ -237,7 +269,7 @@ class KKTFactorization:
 
             x = solve32(rhs)
             for _ in range(self.n_refine):
-                x = x + solve32(rhs - self.WW @ x)
+                x = x + solve32(rhs - hdot(self.WW, x))
             return x
         return ldl_solve(self.a, self.b, rhs)
 

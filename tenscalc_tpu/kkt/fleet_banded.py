@@ -39,6 +39,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .structure import BandedPlan
+from .dense import hdot
 
 TILE = 128  # lane width
 
@@ -396,7 +397,7 @@ class FleetBandedFactorization:
         dt = rhs.dtype
         x = self._solve32(rhs).astype(dt)
         for _ in range(self.n_refine):
-            x = x + self._solve32(rhs - self.WW @ x).astype(dt)
+            x = x + self._solve32(rhs - hdot(self.WW, x)).astype(dt)
         return x
 
     def inertia(self, tol: float = 0.0):

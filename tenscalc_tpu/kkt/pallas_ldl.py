@@ -32,6 +32,7 @@ import numpy as np
 from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+from .dense import hdot
 
 BS = 128  # panel width = MXU/VPU lane count
 
@@ -213,7 +214,7 @@ class PallasLDLFactorization:
         dt = rhs.dtype
         x = self._solve32(rhs).astype(dt)
         for _ in range(self.n_refine):
-            x = x + self._solve32(rhs - self.WW @ x).astype(dt)
+            x = x + self._solve32(rhs - hdot(self.WW, x)).astype(dt)
         return x
 
     def inertia(self, tol: float = 0.0):

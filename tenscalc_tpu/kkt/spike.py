@@ -30,6 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
+from .dense import hdot
 
 
 def _local_tridiag_factor(A, B):
@@ -290,7 +291,7 @@ class SpikeFactorization:
         dt = rhs.dtype
         x = self._solve32(rhs).astype(dt)
         for _ in range(self.n_refine):
-            x = x + self._solve32(rhs - self.WW @ x).astype(dt)
+            x = x + self._solve32(rhs - hdot(self.WW, x)).astype(dt)
         return x
 
     def inertia(self, tol: float = 0.0):

@@ -26,6 +26,7 @@ import numpy as np
 from jax import lax
 
 from .structure import BandedPlan
+from .dense import hdot
 
 
 def _factor_dtype(WW):
@@ -145,10 +146,10 @@ class TridiagFactorization:
         # IPM's addEye2Hessian adaptation then handles
         # (lib/ipmPD_CSsolver.c:393-548), never a NaN abort.
         x = jnp.where(jnp.isfinite(x), x, jnp.zeros((), dt))
-        r = rhs - self.WW @ x
+        r = rhs - hdot(self.WW, x)
         for _ in range(self.n_refine):
             x2 = x + self._solve32(r).astype(dt)
-            r2 = rhs - self.WW @ x2
+            r2 = rhs - hdot(self.WW, x2)
             better = jnp.max(jnp.abs(r2)) < jnp.max(jnp.abs(r))
             better &= jnp.all(jnp.isfinite(x2))
             x = jnp.where(better, x2, x)
