@@ -349,8 +349,10 @@ def build_equilibrium_ipm(fns: _EqFns, dims, opts: SolverOptions,
             else:
                 from .solver import line_search_affine
 
+                from .solver import _rough_solve
+
                 b_a = jnp.concatenate([-stat_ff, -Gv])
-                dxz_a = fac_s.solve(b_a)
+                dxz_a = _rough_solve(fac_s, b_a)
                 dZ_a = dxz_a[:nZ]
                 dLam_a = -lam - LFF @ dZ_a
                 maxAlphaP_a = _clp(Fv, Fz @ dZ_a)
@@ -419,8 +421,10 @@ def build_equilibrium_ipm(fns: _EqFns, dims, opts: SolverOptions,
             # ipmPDeqlat_CS.m:660-716 + ipmPDeq_CSsolver.c)
             from .solver import line_search_affine
 
+            from .solver import _rough_solve
+
             b_a = jnp.concatenate([-sv, -Gv, -Fv])
-            dx_a = fac.solve(b_a)
+            dx_a = _rough_solve(fac, b_a)
             dZ_a = dx_a[:nZ]
             dLam_a = dx_a[nZ + nNu :]
 

@@ -174,6 +174,18 @@ def line_search_affine(minF_of_alpha, alpha_max_, opts: SolverOptions, dt):
     return alpha.astype(dt)
 
 
+def _rough_solve(fac, rhs):
+    """Unrefined f32 solve for the Mehrotra affine PREDICTOR: the
+    affine direction only feeds the sigma heuristic and the second-order
+    corrector, which tolerate predictor-level accuracy — skipping the
+    refinement sweeps saves one kernel pass plus one exact matvec per
+    iteration on the fleet backends."""
+    f32 = getattr(fac, "_solve32", None)
+    if f32 is not None:
+        return f32(rhs).astype(rhs.dtype)
+    return fac.solve(rhs)
+
+
 def build_ipm(
     fns: IPMFunctions,
     nU: int,
@@ -356,7 +368,7 @@ def build_ipm(
                 b_a = jnp.concatenate(
                     [-grad_u - (Fu.T @ lam if nF > 0 else 0.0), -Gval]
                 )
-                dx_a = fac.solve(b_a)
+                dx_a = _rough_solve(fac, b_a)
                 dU_a = dx_a[:nU]
                 dLambda_a = (
                     -LPG @ dU_a - lam if nF > 0 else jnp.zeros((0,), dt)
@@ -408,7 +420,7 @@ def build_ipm(
                     dLambda_a = jnp.zeros((nF,), dt)
                 else:
                     b_a = jnp.concatenate([-grad_u, -Gval, Fval])
-                    dx_a = fac.solve(b_a)
+                    dx_a = _rough_solve(fac, b_a)
                     dU_a = dx_a[:nU]
                     dLambda_a = dx_a[nU + nG:]
                     use_corr = jnp.ones((), dt)
@@ -441,6 +453,7 @@ def build_ipm(
             return kkt_solver(WW)
         return kkt_factorize(WW, need_inertia=opts.useInertia, block=opts.ldl_block,
                              n_refine=opts.refine_for("dense"))
+
 
     # ------------------------------------------------------------------
     # batched backtracking line search (lib/ipmPD_CSsolver.c:679-756)

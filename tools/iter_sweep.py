@@ -29,7 +29,7 @@ from tenscalc_tpu.parallel import batched_solve_fn
 def main():
     B = 1024
     T = 30
-    ns = f"bench{B}_"  # reuse the bench solver namespace → cached compile
+    ns = "bench_"  # reuse the bench solver namespace -> cached compile
     solver = mpc_dcmotor.build_solver(T=T, namespace=ns, **FLAGSHIP_OPTS)
     dparams, u0 = _device_batch_inputs(solver, B, ns, T, np.random.default_rng(0))
     fn = batched_solve_fn(solver)
