@@ -24,7 +24,7 @@ def make_data(N=200, noise=1.0, p_outlier=0.1, seed=1):
     return t, true_position, measurement, dt1, k_outlier
 
 
-def build_l2(N=200, ns="l2e_"):
+def build_l2(N=200, ns="l2e_", **options):
     measurement = tc.variable(ns + "measurement", (N,))
     dt1 = tc.variable(ns + "dt1", (N - 1,))
     w2acc = tc.variable(ns + "weight2acceleration", ())
@@ -38,10 +38,11 @@ def build_l2(N=200, ns="l2e_"):
         optimizationVariables=[position],
         parameters=[measurement, dt1, w2acc],
         outputExpressions={"J": J, "position": position},
+        **options,
     )
 
 
-def build_l1l2(N=200, ns="l12e_"):
+def build_l1l2(N=200, ns="l12e_", **options):
     """l1 terms absorb outliers: epigraph variables noise1abs /
     acceleration1abs with box constraints (l1l2estimationCS.m:113-160)."""
     measurement = tc.variable(ns + "measurement", (N,))
@@ -82,6 +83,7 @@ def build_l1l2(N=200, ns="l12e_"):
             "noise1": noise1,
             "acceleration1": acc1,
         },
+        **options,
     )
 
 

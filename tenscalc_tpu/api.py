@@ -187,6 +187,7 @@ class OptimizeSolver:
         )
         self.kkt_plan = None
         self.kkt_backend_resolved = "dense"
+        self._kkt_solver = None
         if self.opts.kkt_backend == "ldl":
             from .kkt.dense import kkt_factorize
 
@@ -217,7 +218,40 @@ class OptimizeSolver:
             "auto", "tridiag", "cyclic", "spike", "fleet_banded",
         ):
             self._plan_structure()
-        self._solve_jit = jax.jit(self._solve_raw)
+        # single-instance solve: guard-less build (the lax.cond(st.done)
+        # freeze wrapper is vmap-only machinery and costs ~6 us/iter of
+        # TPU sequencing); _solve_raw keeps the guard for vmapped fleets
+        self._solve_jit = jax.jit(
+            build_ipm(
+                self._fns, self.nU, self.nF, self.nG, self.opts,
+                hoist=self._hoist,
+                kkt_solver=self._kkt_solver,
+                fleet_init=self.kkt_backend_resolved
+                in ("fleet", "fleet_banded"),
+                batch_guard=False,
+            )
+        )
+        if self.opts.verboseLevel >= 2:
+            self._report_kkt_plan()
+
+    def _report_kkt_plan(self) -> None:
+        """Planner report, the analog of the reference's codegen
+        statistics (lib/@csparse/sparsity_ldl.m:290-297)."""
+        nK = self.nU + self.nG + (
+            0 if self.opts.smallerNewtonMatrix else self.nF
+        )
+        msg = (
+            f"[kkt plan] nU={self.nU} nG={self.nG} nF={self.nF} nK={nK} "
+            f"variant={'condensed' if self.opts.smallerNewtonMatrix else 'large'} "
+            f"backend={self.kkt_backend_resolved}"
+        )
+        plan = self.kkt_plan
+        if plan is not None:
+            for attr in ("bandwidth", "block", "n_blocks", "n_arrow"):
+                v = getattr(plan, attr, None)
+                if v is not None:
+                    msg += f" {attr}={v}"
+        print(msg)
 
     def _install_backend(self, kkt_solver, name: str) -> None:
         """Rebuild the solve function with a structured KKT backend.
@@ -225,6 +259,7 @@ class OptimizeSolver:
         (avoids a second Mosaic call site / slow XLA batched LU in the
         prologue — see build_ipm)."""
         self.kkt_backend_resolved = name
+        self._kkt_solver = kkt_solver
         self._solve_raw = build_ipm(
             self._fns, self.nU, self.nF, self.nG, self.opts,
             hoist=self._hoist,
@@ -278,12 +313,26 @@ class OptimizeSolver:
                     pattern = probe_pattern(assemble, nK)
             else:
                 pattern = probe_pattern(assemble, nK)
-        except Exception:
+        except Exception as exc:
             if self.opts.kkt_backend == "tridiag":
                 raise
+            # best-effort under 'auto', but NEVER silent: a typo'd
+            # assemble or a shape bug in a new problem class would
+            # otherwise degrade to the slow dense path with zero signal
+            # (the reference's planner errors loudly,
+            # lib/@csparse/sparsity_ldl.m:188)
+            import warnings
+
+            warnings.warn(
+                "KKT structure probe failed "
+                f"({type(exc).__name__}: {exc}); falling back to the "
+                "dense-family backend",
+                RuntimeWarning,
+                stacklevel=2,
+            )
             if self.opts.kkt_backend == "fleet_banded" or auto_fleet:
                 self._use_fleet_dense()
-            return  # structure probing is best-effort under 'auto'
+            return
         plan = plan_banded(pattern)
         if self.opts.kkt_backend == "fleet_banded" or auto_fleet:
             # batch-in-lanes banded Pallas LDL over the RCM band

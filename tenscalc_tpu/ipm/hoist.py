@@ -31,13 +31,41 @@ except Exception:  # pragma: no cover
     from jax.core import Literal as _Literal  # type: ignore
 
 
+# Primitives whose inner jaxpr maps the equation's inputs 1:1 onto the
+# body's invars.  ONLY these may be recursed with per-input taint:
+# arity matching alone is NOT a safe test — lax.scan's body jaxpr takes
+# exactly consts+carry+xs, matching eqn.invars, yet taint flows through
+# the carry *across iterations* and a single pass under-approximates it
+# (advisor round-3 repro: a scan emitting the pre-update carry).
+_CALL_PRIMITIVES = frozenset(
+    {
+        "pjit",
+        "jit",
+        "closed_call",
+        "core_call",
+        "custom_jvp_call",
+        "custom_vjp_call",
+        "custom_jvp_call_jaxpr",
+        "custom_vjp_call_jaxpr",
+        "remat",
+        "remat2",
+        "checkpoint",
+    }
+)
+
+
 def _sub_jaxpr(eqn):
-    """The inner jaxpr of a call-like equation (pjit/closed_call), or
-    None.  Only 1:1 input-mapped calls are recursed; everything else
-    (scan/while/cond, whose carries need a fixpoint) stays opaque."""
+    """The inner jaxpr of a whitelisted 1:1 call-like equation
+    (pjit/remat/custom_*_call), or None.  Everything else — notably
+    scan/while/cond, whose carries need a fixpoint — stays opaque and
+    falls back to the sound "any tainted input taints all outputs"."""
+    if eqn.primitive.name not in _CALL_PRIMITIVES:
+        return None
     j = eqn.params.get("jaxpr")
     if j is None:
         j = eqn.params.get("call_jaxpr")
+    if j is None:
+        j = eqn.params.get("fun_jaxpr")
     if j is None:
         return None
     inner = j.jaxpr if hasattr(j, "jaxpr") else j

@@ -479,7 +479,13 @@ def build_minmax_ipm(fns, nUu, nD, nFu, nFd, nGu, nGd, opts: SolverOptions,
                     # actually improves (inertia-driven retries incU/incD
                     # are not gated: raising the regularization reliably
                     # fixes wrong inertia)
-                    derr_ok = (k <= 1) | (res[1] < 0.5 * derr_prev)
+                    # f32-only guard: in f64 the reference keeps doubling
+                    # addEq up to ADD_MAX regardless of per-step progress
+                    # (see equilibrium.py adapt_cond note)
+                    if jnp.dtype(dt) == jnp.float64:
+                        derr_ok = jnp.asarray(True)
+                    else:
+                        derr_ok = (k <= 1) | (res[1] < 0.5 * derr_prev)
                     drive = incU | incD | (incE & derr_ok)
                     return (k == 0) | (
                         ~good & drive & (k <= MAX_ADAPT_STEPS)

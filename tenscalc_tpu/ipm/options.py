@@ -188,9 +188,12 @@ class SolverOptions:
         kkt/dense.py)."""
         if self.kkt_refine is not None:
             return self.kkt_refine
-        # the symmetric equilibrated banded LDL needs only one sweep;
-        # the unsymmetric banded LU (clamped pivots) needs two
-        return 1 if backend == "fleet_banded" else 2
+        # the symmetric Jacobi-equilibrated LDL paths (banded fleet,
+        # dense fleet — both clamp pivots and scale S W S first) need
+        # only one sweep (round-2 ablation: identical convergence, one
+        # kernel pass saved per solve); the unsymmetric banded LU and
+        # the unequilibrated dense paths keep two
+        return 1 if backend in ("fleet_banded", "fleet") else 2
 
     def replace(self, **kw) -> "SolverOptions":
         return dataclasses.replace(self, **kw)

@@ -91,6 +91,10 @@ class IPMResult(NamedTuple):
     # runtime-selected save_iter (reference: saveWW__/saveIter,
     # lib/ipmPD_CS.m:511-515) — () when allowSave is off
     saved: tuple = ()
+    # profiling-only: ||residual||_inf of the CG nu-initializer (fleet
+    # paths; None when CG did not run) — surfaces ill-conditioned inits
+    # that would otherwise be invisible (ADVICE r2 item 4)
+    nu_init_residual: Optional[jax.Array] = None
 
 
 HISTORY_COLUMNS = (
@@ -110,6 +114,10 @@ class Direction(NamedTuple):
     dU_a: jax.Array       # affine direction (zeros when skipAffine)
     dLambda_a: jax.Array
     mu_new: jax.Array     # sigma-updated mu (Mehrotra); mu when skipAffine
+    sigma_fired: jax.Array  # bool: the Mehrotra sigma update actually ran
+    # (carried explicitly rather than inferred from mu_new != mu, which
+    # misfires when the clamped sigma result coincides with mu, e.g. at
+    # the mu_min floor — advisor round-3 low finding)
 
 
 def _norminf(x):
@@ -195,8 +203,16 @@ def build_ipm(
     kkt_solver=None,
     hoist=(False, False, False),
     fleet_init=False,
+    batch_guard=True,
 ):
     """Build the jittable ``solve`` function for a problem instance.
+
+    ``batch_guard=False`` drops the per-step ``lax.cond(st.done)``
+    freeze wrapper: it exists ONLY so that vmapped lockstep fleets keep
+    finished instances' iterates/status frozen while stragglers run; a
+    single-instance solve exits through the while cond directly and the
+    wrapper costs ~6 us/iteration of TPU sequencing (round-4 sls
+    trace).  NEVER vmap a guard-less build.
 
     ``kkt_solver`` optionally overrides the dense KKT backend with a
     structured one (block-tridiagonal / arrow) exposing the same
@@ -361,6 +377,7 @@ def build_ipm(
         grad_u, Fu, Gu = a["grad_u"], a["Fu"], a["Gu"]
         Fval, Gval, muF, LPG = a["Fval"], a["Gval"], a["muF"], a["LPG"]
         mu_new = mu
+        sigma_fired = jnp.asarray(False)
 
         if small:
             fac = _factor(WW)
@@ -375,7 +392,8 @@ def build_ipm(
                 )
                 use_corr = jnp.ones((), dt)
                 if mehrotra_mu is not None:
-                    mu_new, use_corr = mehrotra_mu(dU_a, dLambda_a, Fu, Fval)
+                    mu_new, sigma_fired = mehrotra_mu(dU_a, dLambda_a, Fu, Fval)
+                    use_corr = sigma_fired.astype(dt)
                 muF_c = mu_new / Fval if nF > 0 else muF
                 # Mehrotra correction (lib/ipmPD_CS.m:319-322), gated on
                 # a useful affine step (see mehrotra_mu)
@@ -425,7 +443,8 @@ def build_ipm(
                     dLambda_a = dx_a[nU + nG:]
                     use_corr = jnp.ones((), dt)
                     if mehrotra_mu is not None:
-                        mu_new, use_corr = mehrotra_mu(dU_a, dLambda_a, Fu, Fval)
+                        mu_new, sigma_fired = mehrotra_mu(dU_a, dLambda_a, Fu, Fval)
+                        use_corr = sigma_fired.astype(dt)
                     corr = (
                         use_corr * (Fu @ dU_a) * dLambda_a / lam - mu_new / lam
                         if nF > 0
@@ -441,7 +460,7 @@ def build_ipm(
         curvature = dU @ (WW11 @ dU)
         mp, mn = fac.inertia()
         return Direction(dU, dNu, dLambda, derr, curvature, mp, mn, dU_a,
-                         dLambda_a, mu_new), (
+                         dLambda_a, mu_new, sigma_fired), (
             grad_u,
             Fu,
             Fval,
@@ -506,6 +525,7 @@ def build_ipm(
         mu_min = desired_gap / max(nF, 1) / 2.0
 
         # dual initialization (initDualIneq__ / initDualEqX__)
+        nu_init_res = None  # set by the CG nu-initializer (fleet paths)
         lam0 = mu0 / Fs(u0) if nF > 0 else jnp.zeros((0,), dt)
         if nG > 0:
             # least-squares nu init (ipmPD_CStimesLambda.m:212-217)
@@ -561,11 +581,12 @@ def build_ipm(
                 nu0, r_fin, *_ = lax.fori_loop(
                     0, n_cg, cg_body, (x0c, rhs0, z0c, rhs0 @ z0c)
                 )
+                nu_init_res = _norminf(r_fin)
                 if opts.verboseLevel >= 4:
                     # surface ill-conditioned inits (ADVICE r2)
                     jax.debug.print(
                         "nu-init CG residual: {r:8.1e} (|rhs| {b:8.1e})",
-                        r=_norminf(r_fin), b=_norminf(rhs0),
+                        r=nu_init_res, b=_norminf(rhs0),
                     )
             else:
                 from ..kkt.dense import lu_solve_mixed
@@ -639,6 +660,10 @@ def build_ipm(
             # Under vmap, the batched while_loop keeps stepping until every
             # instance is done; finished instances must be frozen exactly
             # (iteration count, status, iterates all stay theirs).
+            if not batch_guard:
+                # single-instance build: the while cond (~st.done) already
+                # guarantees st.done is False here
+                return _step(st)
             return lax.cond(st.done, lambda s: s, _step, st)
 
         def _step(st: IPMState) -> IPMState:
@@ -759,8 +784,7 @@ def build_ipm(
                 # The same gate the reference applies to sigma is
                 # applied to the corrector (production IPMs gate the
                 # corrector similarly).
-                use_corr = do_sigma.astype(dt)
-                return mu_c, use_corr
+                return mu_c, do_sigma
 
             meh = (
                 mehrotra_mu if (not opts.skipAffine and nF > 0) else None
@@ -978,8 +1002,7 @@ def build_ipm(
                         tiny_alpha, mu_tiny / Fs(new_u), new_lam
                     )
                 else:
-                    sigma_fired = dirn.mu_new != mu
-                    new_mu = jnp.where(sigma_fired, dirn.mu_new, mu_sched)
+                    new_mu = jnp.where(dirn.sigma_fired, dirn.mu_new, mu_sched)
 
                 # stall escape (lib/ipmPD_CSsolver.c:853-859)
                 stalled = (
@@ -1100,6 +1123,7 @@ def build_ipm(
             scale_ineq=scale_ineq,
             scale_cost=scale_cost,
             saved=final.snap,
+            nu_init_residual=nu_init_res if opts.profiling else None,
         )
 
     solve._assemble_ww = assemble_ww  # exposed for structure probing

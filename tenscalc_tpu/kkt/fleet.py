@@ -256,10 +256,32 @@ def fleet_ldl_solve_batched(L: jax.Array, d: jax.Array, b: jax.Array):
 # custom_vmap wrappers: per-instance API, fleet execution under vmap
 # ---------------------------------------------------------------------------
 
+# single-instance Pallas LDL size cap: the fused kernel holds
+# ~3 npad^2 f32 in VMEM (A + Lt + M scratch); npad <= 896 keeps it
+# under ~10 MB.  Larger single instances use the XLA blocked LDL,
+# whose MXU trailing updates dominate at that size anyway.
+_PALLAS_SINGLE_MAX = 896
+
+
+def _pallas_single_ok(n: int) -> bool:
+    return not _interpret() and n <= _PALLAS_SINGLE_MAX
+
+
 @functools.partial(jax.custom_batching.custom_vmap)
 def fleet_ldl_factor(A: jax.Array):
     """Per-instance LDL that turns into the fleet kernel under vmap."""
-    # unbatched fallback: dense blocked LDL (kkt/dense.py)
+    if _pallas_single_ok(A.shape[-1]):
+        # unbatched on real TPU: ONE fused Mosaic kernel.  The XLA
+        # blocked/unrolled LDL emits ~6 ops per elimination step and
+        # each op pays ~0.5-0.7 us of TPU sequencing — measured 300
+        # ops/~80 us per IPM iteration on the n=32 sls KKT (round-4
+        # trace), vs a single kernel launch here.  Formats differ
+        # (Lt = L^T rows) but the (factor, solve) pair is consistent
+        # and opaque to callers.
+        from .pallas_ldl import pallas_ldl_factor
+
+        return pallas_ldl_factor(A, clamp=1e-7)
+    # CPU / interpret: dense blocked LDL (kkt/dense.py)
     return ldl_factor(A, clamp=1e-7)
 
 
@@ -273,8 +295,14 @@ def _fleet_factor_vmap(axis_size, in_batched, A):
 
 @jax.custom_batching.custom_vmap
 def fleet_ldl_solve(L: jax.Array, d: jax.Array, b: jax.Array):
-    # unbatched fallback path; L here comes from the unbatched
-    # fleet_ldl_factor fallback, i.e. a standard (L, d) pair
+    # unbatched fallback path; the factor format matches whatever the
+    # unbatched fleet_ldl_factor produced (Pallas Lt on TPU, standard
+    # L from the dense blocked LDL elsewhere) — the gates agree because
+    # both see the same n
+    if _pallas_single_ok(L.shape[-1]):
+        from .pallas_ldl import pallas_ldl_solve
+
+        return pallas_ldl_solve(L, d, b)
     return ldl_solve(L, d, b)
 
 

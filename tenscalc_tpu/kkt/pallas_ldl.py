@@ -39,13 +39,18 @@ BS = 128  # panel width = MXU/VPU lane count
 _DN_OUTER = (((0,), (0,)), ((), ()))  # contract leading axes: A^T @ B
 
 
-def _ldl_kernel(nb: int, clamp: float, A_ref, Lt_ref, d_ref, M):
+def _ldl_kernel(nb: int, clamp: float, n_steps: int, A_ref, Lt_ref, d_ref, M):
     """Row-oriented LDL: Lt[c, :] = column c of L; M is updated row-wise.
 
     ``clamp > 0`` applies the Cheng-Higham pivot modification
     d_j <- sign(d_j) max(|d_j|, clamp), bounding elimination growth on
     near-singular pivots (same contract as kkt/dense.py _ldl_block) —
-    required for f32 robustness on IPM endgame KKT matrices."""
+    required for f32 robustness on IPM endgame KKT matrices.
+
+    ``n_steps`` bounds the sequential elimination to the REAL matrix
+    size: the pad-to-BS region is identity (off-diagonal zero), so its
+    elimination steps are no-ops — skipping them cuts the critical path
+    4x for the common n~32 condensed KKT padded to 128."""
     n = nb * BS
     M[:] = A_ref[:]
     Lt_ref[:] = jnp.zeros((n, n), jnp.float32)
@@ -54,6 +59,9 @@ def _ldl_kernel(nb: int, clamp: float, A_ref, Lt_ref, d_ref, M):
 
     for k in range(nb):  # static unroll over panels
         base = k * BS
+        steps = min(max(n_steps - base, 0), BS)
+        if steps == 0:
+            break
 
         def panel_step(j, _):
             c = base + j
@@ -74,9 +82,9 @@ def _ldl_kernel(nb: int, clamp: float, A_ref, Lt_ref, d_ref, M):
             M[base : base + BS, :] = M[base : base + BS, :] - dj * outer
             return jnp.int32(0)
 
-        lax.fori_loop(jnp.int32(0), jnp.int32(BS), panel_step, jnp.int32(0))
+        lax.fori_loop(jnp.int32(0), jnp.int32(steps), panel_step, jnp.int32(0))
 
-        if k < nb - 1:
+        if k < nb - 1 and n_steps > base + BS:
             # trailing rows update via the MXU:
             # M[t, :] -= sum_j d_j * Lt[j, t] * Lt[j, :]  (j in panel)
             Rp = Lt_ref[base : base + BS, :]               # (BS, n)
@@ -97,8 +105,11 @@ def _ldl_kernel(nb: int, clamp: float, A_ref, Lt_ref, d_ref, M):
     Lt_ref[:] = jnp.where(rows_eq, 1.0, Lt_ref[:])
 
 
-def _solve_kernel(n: int, Lt_ref, d_ref, b_ref, x_ref, y):
-    """Substitutions with Lt = L^T, all vectors as (1, n) rows."""
+def _solve_kernel(n: int, n_steps: int, Lt_ref, d_ref, b_ref, x_ref, y):
+    """Substitutions with Lt = L^T, all vectors as (1, n) rows.
+
+    ``n_steps`` bounds the sweeps to the real system size (the padded
+    tail is identity with b = 0, so its steps are no-ops)."""
     cols = lax.broadcasted_iota(jnp.int32, (1, n), 1)
     y[:] = b_ref[:]
 
@@ -110,19 +121,19 @@ def _solve_kernel(n: int, Lt_ref, d_ref, b_ref, x_ref, y):
         y[:] = y[:] - yc * jnp.where(cols > c, r, 0.0)
         return jnp.int32(0)
 
-    lax.fori_loop(jnp.int32(0), jnp.int32(n), fwd, jnp.int32(0))
+    lax.fori_loop(jnp.int32(0), jnp.int32(n_steps), fwd, jnp.int32(0))
     y[:] = y[:] / d_ref[:]
 
     # backward L^T x = y, left-looking:
     # x[c] = y[c] - sum_{j>c} Lt[c,j] x[j]
     def bwd(i, _):
-        c = n - 1 - i
+        c = n_steps - 1 - i
         r = Lt_ref[pl.ds(c, 1), :]
         acc = jnp.sum(jnp.where(cols > c, r * y[:], 0.0))
         y[:] = jnp.where(cols == c, y[:] - acc, y[:])
         return jnp.int32(0)
 
-    lax.fori_loop(jnp.int32(0), jnp.int32(n), bwd, jnp.int32(0))
+    lax.fori_loop(jnp.int32(0), jnp.int32(n_steps), bwd, jnp.int32(0))
     x_ref[:] = y[:]
 
 
@@ -143,7 +154,7 @@ def pallas_ldl_factor(A, interpret: bool = False, clamp: float = 0.0):
     Ap, n, nb = _pad_to_blocks(A)
     npad = nb * BS
     Lt, d = pl.pallas_call(
-        functools.partial(_ldl_kernel, nb, clamp),
+        functools.partial(_ldl_kernel, nb, clamp, n),
         out_shape=(
             jax.ShapeDtypeStruct((npad, npad), jnp.float32),
             jax.ShapeDtypeStruct((1, npad), jnp.float32),
@@ -179,7 +190,7 @@ def pallas_ldl_solve(Lt, d, b, interpret: bool = False):
             b.astype(jnp.float32),
         )
     x = pl.pallas_call(
-        functools.partial(_solve_kernel, npad),
+        functools.partial(_solve_kernel, npad, n),
         out_shape=jax.ShapeDtypeStruct((1, npad), jnp.float32),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),

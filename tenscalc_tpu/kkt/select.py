@@ -28,7 +28,19 @@ def compute_banded_plan(assemble_trial, nK):
                 pattern = probe_pattern(assemble_trial, nK)
         else:  # pragma: no cover
             pattern = probe_pattern(assemble_trial, nK)
-    except Exception:
+    except Exception as exc:
+        # never silent (reference planner errors loudly,
+        # lib/@csparse/sparsity_ldl.m:188): a broken assemble would
+        # otherwise degrade to the dense path with zero signal
+        import warnings
+
+        warnings.warn(
+            "game-solver KKT structure probe failed "
+            f"({type(exc).__name__}: {exc}); falling back to the dense "
+            "backend",
+            RuntimeWarning,
+            stacklevel=2,
+        )
         return None
     return plan_banded(pattern)
 

@@ -31,20 +31,41 @@ from bench import FLAGSHIP_OPTS, _device_batch_inputs
 from examples import mpc_dcmotor
 from tenscalc_tpu.parallel import batched_solve_fn
 
-# every variant differs from the resolved defaults (base = dtype-only
-# flagship: condensed standard, fleet_banded via auto, kkt_refine->1,
-# affine-F on, skipAffine on)
+# every variant must differ from the resolved flagship defaults
+# (base = dtype-only flagship: condensed standard, fleet_banded via
+# auto, kkt_refine->1, affine-F on, Mehrotra on (skipAffine False));
+# _check_variants() guards against defaults drifting under a variant
+# (the round-2 'refine1 == base' silent-noise row)
 VARIANTS = {
     "base": dict(),
     "ls8": dict(linesearch_points=8),
     "ls16": dict(linesearch_points=16),
-    "mehrotra": dict(skipAffine=False),
+    "skipaffine": dict(skipAffine=True),
     "refine2": dict(kkt_refine=2),
     "refine0": dict(kkt_refine=0),
     "noadj": dict(adjustAddEye2Hessian=False),
     "noaffF": dict(linesearch_affine_F=False),
-    "noprof": dict(),  # base again (sanity / run-to-run noise)
+    "noise": dict(),  # base again, intentionally (run-to-run noise)
 }
+_SANITY = {"base", "noise"}
+
+
+def _check_variants():
+    from tenscalc_tpu import SolverOptions
+
+    resolved = SolverOptions(**FLAGSHIP_OPTS).resolved("optimize")
+    for name, ov in VARIANTS.items():
+        if name in _SANITY:
+            continue
+        changed = {
+            k for k, v in ov.items() if getattr(resolved, k) != v
+        }
+        if not changed:
+            raise SystemExit(
+                f"ablation variant {name!r} no longer differs from the "
+                f"resolved flagship defaults ({ov}) — it would silently "
+                "measure run-to-run noise; update VARIANTS"
+            )
 
 
 def run(name: str, B: int = 1024):
@@ -97,6 +118,7 @@ def run(name: str, B: int = 1024):
 
 
 def main():
+    _check_variants()
     names = sys.argv[1:] or list(VARIANTS)
     print(json.dumps({"device": str(jax.devices()[0])}), flush=True)
     for n in names:
