@@ -59,6 +59,10 @@ def _note(msg):
 
 
 def _device_batch_inputs(solver, B, ns, T, rng):
+    """Per-instance leaves (ref trajectory, initial state) carry a batch
+    axis; the plant model / weights are SHARED (unbatched) so their
+    derivative contributions are computed once for the whole fleet
+    (vmap in_axes=None — see parallel.batched_solve_fn)."""
     import jax.numpy as jnp
     import numpy as np
 
@@ -66,10 +70,7 @@ def _device_batch_inputs(solver, B, ns, T, rng):
 
     base = mpc_dcmotor.default_params(T, ns)
     Ts = base[ns + "Ts"]
-    bparams = {}
-    for k, v in base.items():
-        arr = np.asarray(v, float)
-        bparams[k] = np.broadcast_to(arr, (B,) + arr.shape).copy()
+    bparams = {k: np.asarray(v, float) for k, v in base.items()}
     bparams[ns + "ref"] = np.stack(
         [
             mpc_dcmotor.reference_signal(t0_ + np.arange(T) * Ts)[None, :]
@@ -101,18 +102,25 @@ def _throughput(solver, B, ns, T, rng, n_queued=5, chunk=CHUNK):
     from tenscalc_tpu.parallel import batched_solve_fn
 
     dparams, u0 = _device_batch_inputs(solver, B, ns, T, rng)
+    declared = {p.name: p.shape for p in solver.parameters}
+    shared = sorted(
+        k for k, v in dparams.items() if tuple(v.shape) == declared[k]
+    )
     mu0 = jnp.asarray(1e-3, jnp.float32)
     a1 = jnp.asarray(1e-9, jnp.float32)
     a2 = jnp.asarray(1e-9, jnp.float32)
     mi = jnp.asarray(100, jnp.int32)
     if not hasattr(solver, "_bench_batched_fn"):
-        solver._bench_batched_fn = batched_solve_fn(solver)
+        solver._bench_batched_fn = batched_solve_fn(solver, shared=shared)
     fn = solver._bench_batched_fn
 
     nc = max(B // chunk, 1)
     csize = B // nc
     cparams = [
-        {k: v[i * csize : (i + 1) * csize] for k, v in dparams.items()}
+        {
+            k: (v if k in shared else v[i * csize : (i + 1) * csize])
+            for k, v in dparams.items()
+        }
         for i in range(nc)
     ]
     cu0 = [u0[i * csize : (i + 1) * csize] for i in range(nc)]
@@ -399,7 +407,15 @@ def bench_l1l2(N=200):
     from tenscalc_tpu.profiling import measure_device_time
 
     ns = "bl12_"
-    s = l1l2_mod.build_l1l2(N=N, ns=ns, **FLAGSHIP_OPTS)
+    # f32 tolerances: J ~ 4e2 and Hessian norms ~1e4 put the f32
+    # gradient-evaluation noise floor near 5e-2, so the reference's f64
+    # tolerances are unreachable in f32 (the solution itself matches the
+    # f64 solve to ~1e-3 position error).  The duality gap still
+    # certifies optimality.
+    s = l1l2_mod.build_l1l2(
+        N=N, ns=ns, gradTolerance=0.2, desiredDualityGap=5e-3,
+        **FLAGSHIP_OPTS,
+    )
     t_, true_pos, meas, dt1, outliers = l1l2_mod.make_data(N=N)
     params = {
         ns + "measurement": meas,
@@ -535,13 +551,17 @@ def bench_flops_curve(sizes=(30, 60, 100, 200, 300, 1000, 2000)):
     return rows
 
 
-def bench_mpc_long(T=512, B=1024):
+def bench_mpc_long(T=256, B=256):
     """Long-horizon batched MPC on the banded fleet kernel (round-3
     judge item 2b): nK grows ~5x per 256 horizon steps, stressing the
     Mosaic banded LDL at sizes the 300x300 headline bench never
     reaches.  Also extracts per-kernel device times from an xplane
     trace and pairs them with analytic bytes/flops for a roofline
-    verdict (latency / bandwidth / compute bound)."""
+    verdict (latency / bandwidth / compute bound).
+
+    Sizes are HBM-bound: the batched hoisted constraint Jacobians are
+    (B, nG, nU) f32 — T=512 at B=1024 needs a 19 GB intermediate and
+    OOMs a 16 GB chip; T=256 at B=256 keeps the working set ~1.2 GB."""
     import jax.numpy as jnp
     import numpy as np
 
@@ -576,7 +596,7 @@ def bench_mpc_long(T=512, B=1024):
     # are the banded elimination/substitution counts.  TILE instances
     # per call.
     if plan is not None and backend == "fleet_banded":
-        dparams, u0 = _device_batch_inputs(solver, CHUNK, ns, T, rng)
+        dparams, u0 = _device_batch_inputs(solver, B, ns, T, rng)
         fn = solver._bench_batched_fn
         mu0 = jnp.asarray(1e-3, jnp.float32)
         a = jnp.asarray(1e-9, jnp.float32)
@@ -641,10 +661,9 @@ def bench_mpcmhe(B=1024, T=12, L=16):
     base[ns + "lambda_n"] = 20.0
     rng = np.random.default_rng(0)
     t = np.arange(T) * 0.05
-    params = {}
-    for k, v in base.items():
-        arr = np.asarray(v, float)
-        params[k] = np.broadcast_to(arr, (B,) + arr.shape).copy()
+    # plant model / weights SHARED across the fleet (unbatched);
+    # per-instance: past IO windows + reference trajectory
+    params = {k: np.asarray(v, float) for k, v in base.items()}
     params[ns + "uPast"] = 0.1 * rng.standard_normal((B, 1, L))
     params[ns + "yPast"] = 0.05 * np.sin(
         0.5 * (np.arange(-L, 0) * 0.05)

@@ -849,9 +849,14 @@ class MinMaxSolver:
         parameters = dict(parameters or {})
         penv = {}
         B = None
+        shared = set()
         for p in self.parameters:
             v = jnp.asarray(parameters[p.name], dt)
-            if B is None:
+            if tuple(v.shape) == p.shape:
+                # unbatched declared shape -> shared across the batch
+                # (computed-once derivatives; see equilibrium.solve_many)
+                shared.add(p.name)
+            elif B is None:
                 B = v.shape[0]
             penv[p.name] = v
         inits = dict(inits or {})
@@ -870,14 +875,22 @@ class MinMaxSolver:
         z0 = jnp.concatenate(
             [env[n] for n in self.pack_u.names + self.pack_d.names], axis=1
         )
-        if not hasattr(self, "_solve_many_jit"):
-            self._solve_many_jit = jax.jit(
+        key = frozenset(shared)
+        cache = getattr(self, "_solve_many_jits", None)
+        if cache is None:
+            cache = self._solve_many_jits = {}
+        fn = cache.get(key)
+        if fn is None:
+            penv_axes = {
+                p.name: (None if p.name in shared else 0)
+                for p in self.parameters
+            }
+            fn = cache[key] = jax.jit(
                 jax.vmap(
                     self._solve_raw,
-                    in_axes=(0, 0, None, None, None, None, None),
+                    in_axes=(0, penv_axes, None, None, None, None, None),
                 )
             )
-        fn = self._solve_many_jit
         return fn(
             z0, penv, jnp.asarray(mu0, dt),
             self.opts.maxIter if max_iter is None else max_iter,

@@ -63,6 +63,11 @@ class IPMState(NamedTuple):
     done: jax.Array       # bool
     hist: jax.Array       # [maxIter, 8] iteration trace (profiling only)
     snap: tuple           # allowSave snapshot (u,nu,lam,mu,addU,addEq) or ()
+    # f32 cross-iteration progress guard for the delayed addEye2Hessian
+    # increase: derr after the last iteration, and whether that
+    # iteration raised the regularization (see _iterate)
+    derr_prev: jax.Array = jnp.inf
+    inc_prev: jax.Array = False
 
 
 class IPMResult(NamedTuple):
@@ -118,6 +123,8 @@ class Direction(NamedTuple):
     # (carried explicitly rather than inferred from mu_new != mu, which
     # misfires when the clamped sigma result coincides with mu, e.g. at
     # the mu_min floor — advisor round-3 low finding)
+    bscale: jax.Array     # ||rhs||_inf of the combined system: the scale
+    # the f32 direction-error gate must be relative to (see _iterate)
 
 
 def _norminf(x):
@@ -310,8 +317,24 @@ def build_ipm(
         f_u = jax.grad(fs)(u)
 
         WW11 = H + addU * I_U
-        muF = mu / Fval if nF > 0 else jnp.zeros((0,), dt)
-        LPG = (lam / Fval)[:, None] * Fu if nF > 0 else jnp.zeros((0, nU), dt)
+        # f32 guard: the line search keeps F(u) > 0 in exact arithmetic
+        # (for affine F it certifies Fval + alpha*Fu dU > 0), but the
+        # re-evaluated F at the new iterate can ROUND to exactly 0 when
+        # paired epigraph constraints both approach 0 (l1 problems:
+        # |x| <= t with x, t -> 0) — and mu/0 = inf poisons the KKT
+        # matrix into a NaN direction (reference f64 never sees this;
+        # its floor is 1e-16-scale).  Clamp only the divisions: below
+        # the floor the barrier term is saturated, and feasibility is
+        # still enforced by fraction-to-boundary + the exit tests.
+        # (floor 1e-8: after scaleInequalities the constraints are O(1),
+        # so F below ~1e-7 is f32 rounding noise; a smaller floor would
+        # turn a noise-negative F into an enormous barrier force)
+        if nF > 0 and jnp.dtype(dt) != jnp.float64:
+            Fdiv = jnp.maximum(Fval, jnp.asarray(1e-8, dt))
+        else:
+            Fdiv = Fval
+        muF = mu / Fdiv if nF > 0 else jnp.zeros((0,), dt)
+        LPG = (lam / Fdiv)[:, None] * Fu if nF > 0 else jnp.zeros((0, nU), dt)
 
         if small:
             # condensed system (lib/ipmPD_CS.m:254-361): eliminate dLambda
@@ -355,7 +378,7 @@ def build_ipm(
             WW = jnp.concatenate([row1, row2, row3], axis=0)
         return dict(
             WW=WW, WW11=WW11, grad_u=grad_u, f_u=f_u, Fu=Fu, Gu=Gu,
-            Fval=Fval, Gval=Gval, muF=muF, LPG=LPG,
+            Fval=Fval, Gval=Gval, muF=muF, LPG=LPG, Fdiv=Fdiv,
         )
 
     def compute_direction(u, nu, lam, mu, addU, addEq, penv, scale_ineq,
@@ -376,6 +399,7 @@ def build_ipm(
         WW, WW11 = a["WW"], a["WW11"]
         grad_u, Fu, Gu = a["grad_u"], a["Fu"], a["Gu"]
         Fval, Gval, muF, LPG = a["Fval"], a["Gval"], a["muF"], a["LPG"]
+        Fdiv = a["Fdiv"]
         mu_new = mu
         sigma_fired = jnp.asarray(False)
 
@@ -394,11 +418,11 @@ def build_ipm(
                 if mehrotra_mu is not None:
                     mu_new, sigma_fired = mehrotra_mu(dU_a, dLambda_a, Fu, Fval)
                     use_corr = sigma_fired.astype(dt)
-                muF_c = mu_new / Fval if nF > 0 else muF
+                muF_c = mu_new / Fdiv if nF > 0 else muF
                 # Mehrotra correction (lib/ipmPD_CS.m:319-322), gated on
                 # a useful affine step (see mehrotra_mu)
                 Meh = (
-                    use_corr * (Fu @ dU_a) * dLambda_a / Fval
+                    use_corr * (Fu @ dU_a) * dLambda_a / Fdiv
                     if nF > 0 else jnp.zeros((0,), dt)
                 )
                 r1 = -grad_u - (Fu.T @ (lam - muF_c + Meh) if nF > 0 else 0.0)
@@ -459,8 +483,21 @@ def build_ipm(
         derr = _norminf(hdot(WW, dx) - b)
         curvature = dU @ (WW11 @ dU)
         mp, mn = fac.inertia()
+        if jnp.dtype(dt) == jnp.float64:
+            bscale = _norminf(b)
+        else:
+            # backward-error scale bound ||WW||_inf ||dx||_inf + ||b||:
+            # the f32 residual floor comes from cancellation against the
+            # matvec's intermediate magnitudes, not the rhs size (the
+            # lam/F rows of a warm-start KKT reach 1e6+ while b -> 0).
+            # The row-sum norm bound costs one reduction instead of an
+            # exact || |WW| |dx| || matvec per iteration.
+            bscale = (
+                jnp.max(jnp.sum(jnp.abs(WW), axis=-1)) * _norminf(dx)
+                + _norminf(b)
+            )
         return Direction(dU, dNu, dLambda, derr, curvature, mp, mn, dU_a,
-                         dLambda_a, mu_new, sigma_fired), (
+                         dLambda_a, mu_new, sigma_fired, bscale), (
             grad_u,
             Fu,
             Fval,
@@ -637,6 +674,8 @@ def build_ipm(
             it=jnp.zeros((), jnp.int32),
             done=jnp.asarray(False),
             hist=hist0,
+            derr_prev=jnp.asarray(jnp.inf, dt),
+            inc_prev=jnp.asarray(False),
         )
 
         def exit_metrics(st: IPMState):
@@ -682,9 +721,26 @@ def build_ipm(
             status = jnp.where(fail_maxiter, 8, status)
             fail_nan = jnp.isnan(norminf_grad)
             status = jnp.where(fail_nan & (status == 0), 4, status)
-            fail_ineq = jnp.asarray(False) if nF == 0 else (ineq <= 0)
+            # Feasibility failure tests.  The reference uses exact
+            # ineq <= 0 in f64 (lib/ipmPD_CSsolver.c:323-360); in f32 a
+            # legitimately-active constraint (l1 epigraph pairs at the
+            # optimum) ROUNDS to 0 or to -eps-scale while the solve is
+            # healthy, so the f32 test fails only on meaningfully
+            # negative values (constraints are O(1) after
+            # scaleInequalities; 1e-6 ~ 8 ulps at that scale).
+            if jnp.dtype(dt) == jnp.float64:
+                def _infeasible(v):
+                    return v <= 0
+            else:
+                def _infeasible(v):
+                    return v < -1e-6
+            fail_ineq = (
+                jnp.asarray(False) if nF == 0 else _infeasible(ineq)
+            )
             status = jnp.where(fail_ineq & (status == 0), 1, status)
-            fail_dual = jnp.asarray(False) if nF == 0 else (dual <= 0)
+            fail_dual = (
+                jnp.asarray(False) if nF == 0 else _infeasible(dual)
+            )
             status = jnp.where(fail_dual & (status == 0), 2, status)
 
             converged = norminf_grad <= opts.gradTolerance
@@ -800,6 +856,7 @@ def build_ipm(
                 )
 
             addU_next, addEq_next = addU, addEq
+            inc_state = jnp.asarray(False)
             if not (opts.addEye2Hessian and opts.adjustAddEye2Hessian):
                 dirn, aux = direction(addU, addEq)
             else:
@@ -816,11 +873,41 @@ def build_ipm(
                     lambda s: jnp.zeros(s.shape, s.dtype), shapes
                 )
 
+                def _derr_gate(d):
+                    # reference: absolute 1e-6 in f64
+                    # (lib/ipmPD_CSsolver.c:145-148); in f32 relative to
+                    # the backward-error scale, since the f32 residual
+                    # floor is ~eps32 * || |WW| |dx| || (see
+                    # compute_direction's bscale)
+                    if jnp.dtype(dt) == jnp.float64:
+                        return jnp.asarray(opts.maxDirectionError, dt)
+                    return opts.maxDirectionError * jnp.maximum(
+                        jnp.ones((), dt), jnp.minimum(d.bscale, 1e30)
+                    )
+
                 def is_good(d):
                     g = d.curvature > 0
                     if opts.useInertia:
                         g |= (d.mp == mp_desired) & (d.mn == mn_desired)
+                    # the reference ALSO re-solves in-iteration on a bad
+                    # direction (ipmPD_CSsolver.c:393-548) — without
+                    # this, a cond~1/eps KKT in f32 produces an inf
+                    # direction whose NaN reaches lambda before the
+                    # delayed next-iteration bump can act (round-4 l1l2
+                    # finding).  Only NON-FINITE directions retry here:
+                    # a finite direction with a large norm-wise residual
+                    # on an IPM-endgame KKT is still a usable step
+                    # (structured-perturbation sense) and the line
+                    # search + delayed x10/x0.75 adjustment own that
+                    # case; retrying on it pumps addU to its ceiling
+                    # without improving derr (conditioning comes from
+                    # the lam/F rows, which addU does not touch).
+                    g &= jnp.isfinite(d.derr) & jnp.isfinite(d.bscale)
                     return g
+
+                # enough x10 bumps to climb 1e-9 -> 1e2 in ONE iteration,
+                # like the reference's bounded in-iteration loop
+                K_ADAPT = 14
 
                 def adapt_cond(carry):
                     k, need, *_ = carry
@@ -830,7 +917,17 @@ def build_ipm(
                     k, _, aU, aE, _old = carry
                     res = direction(aU, aE)
                     d = res[0]
-                    retry = (~is_good(d)) & (k == 0)
+                    # finite-but-bad directions (wrong curvature/inertia)
+                    # retry ONCE, as the delayed adjustment owns the
+                    # slow path (a nonconvex problem may never reach
+                    # curvature > 0 and K_ADAPT bumps would pin addU at
+                    # its ceiling and stall the line search); NON-FINITE
+                    # directions keep climbing — every bump is forced,
+                    # the alternative is NaN reaching the iterate
+                    finite = jnp.isfinite(d.derr) & jnp.isfinite(d.bscale)
+                    retry = (~is_good(d)) & jnp.where(
+                        finite, k == 0, k < K_ADAPT
+                    )
                     if opts.useInertia:
                         not_enough_pos = d.mp < mp_desired
                         facU = jnp.where(not_enough_pos, 10.0, 2.0)
@@ -860,10 +957,30 @@ def build_ipm(
                 # when the first direction was acceptable (the reference's
                 # updateAddEye2Hessian* flags)
                 derr = dirn.derr
-                dec = derr < opts.maxDirectionError
+                # Delayed next-iteration adjustment, gated the same way:
+                # absolute 1e-6 in f64 (reference semantics); in f32
+                # relative to the backward-error scale — the absolute
+                # gate is unreachable on problems whose KKT magnitudes
+                # are large (l1l2estimation: ~4e4) and addEye2Hessian
+                # would ratchet x10 every iteration to its ceiling
+                # (round-4 finding: status 1 in f32, clean in f64).
+                derr_gate = _derr_gate(dirn)
+                dec = derr < derr_gate
+                inc_guard = jnp.asarray(True)
+                if jnp.dtype(dt) != jnp.float64:
+                    # cross-iteration progress guard (f32): if the
+                    # PREVIOUS iteration already raised the
+                    # regularization and derr did not improve 2x,
+                    # raising further cannot help — the residual floor
+                    # comes from the lam/F conditioning, which addU
+                    # does not touch — and ratcheting to the ceiling
+                    # blocks convergence via the
+                    # addEye2HessianUtolerance test (round-4 l1l2:
+                    # status 0x808 at the solution)
+                    inc_guard = (~st.inc_prev) | (derr < 0.5 * st.derr_prev)
                 # NaN-safe: a NaN direction error must count as "too
                 # large" or a blown-up factorization escapes recovery
-                inc = ~(derr <= opts.maxDirectionError)
+                inc = ~(derr <= derr_gate) & inc_guard
                 addU_next = jnp.where(
                     dec & (addU > MIN), jnp.maximum(0.75 * addU, MIN), addU
                 )
@@ -882,6 +999,7 @@ def build_ipm(
                 )
                 addU_next = jnp.where(was_retry, addU, addU_next)
                 addEq_next = jnp.where(was_retry, addEq, addEq_next)
+                inc_state = inc
 
             grad_u, Fu, Fval, Gval = aux
 
@@ -1055,6 +1173,8 @@ def build_ipm(
                 status=status,
                 it=st.it,
                 done=done,
+                derr_prev=dirn.derr.astype(dt),
+                inc_prev=inc_state,
             )
 
             if opts.verboseLevel >= 3:

@@ -437,14 +437,23 @@ class FleetBandedLUFactorization:
         P = jnp.asarray(np.eye(n, dtype=np.float32)[perm])
         hp = jax.lax.Precision.HIGHEST
         Wp = jnp.matmul(P, jnp.matmul(W32, P.T, precision=hp), precision=hp)
-        # lower band: lb[c, i] = Wp[c+i, c] (stride trick on Wp^T)
-        Y1 = jnp.concatenate([Wp.T, jnp.zeros((n, w), jnp.float32)], axis=1)
-        flat1 = jnp.concatenate([Y1.reshape(-1), jnp.zeros((n,), jnp.float32)])
-        lband = flat1.reshape(n, n + w + 1)[:, : w + 1]
-        # upper band: ub[c, q] = Wp[c, c+q], q = 1..w (same trick on Wp)
-        Y2 = jnp.concatenate([Wp, jnp.zeros((n, w), jnp.float32)], axis=1)
-        flat2 = jnp.concatenate([Y2.reshape(-1), jnp.zeros((n,), jnp.float32)])
-        uband = flat2.reshape(n, n + w + 1)[:, 1 : w + 1]
+        # bands via strided diagonal slices (see fleet_banded.py: the
+        # pad/flatten/reshape stride trick rewrites the full matrix
+        # through layout copies under vmap — ~30 ms/iter at B=1024)
+        # lower band: lb[c, i] = Wp[c+i, c] (sub-diagonals)
+        lcols = []
+        for i in range(w + 1):
+            d = jnp.diagonal(Wp, offset=-i)
+            lcols.append(jnp.concatenate(
+                [d, jnp.zeros((i,), jnp.float32)]
+            ) if i else d)
+        lband = jnp.stack(lcols, axis=1)
+        # upper band: ub[c, q] = Wp[c, c+q], q = 1..w (super-diagonals)
+        ucols = []
+        for q in range(1, w + 1):
+            d = jnp.diagonal(Wp, offset=q)
+            ucols.append(jnp.concatenate([d, jnp.zeros((q,), jnp.float32)]))
+        uband = jnp.stack(ucols, axis=1)
         # two-sided row/col inf-norm equilibration.  The LDL kernel's
         # rsqrt(|diag|) scaling is wrong here: the equilibrium KKT has
         # rows whose diagonal is only the tiny -addEye2Hessian2
@@ -475,15 +484,18 @@ class FleetBandedLUFactorization:
         factor_fn, solve_fn = _wrappers(w, clamp)
         self.fband = factor_fn(band)
         self._solve_fn = solve_fn
+        self.P = P
 
     def _solve32(self, rhs):
-        # M x = b  <=>  (R M C) y = R b with x = C y
-        plan = self.plan
-        perm = jnp.asarray(plan.perm)
-        iperm = jnp.asarray(plan.iperm)
-        bp = self.r * rhs.astype(jnp.float32)[perm]
+        # M x = b  <=>  (R M C) y = R b with x = C y.  Permutations via
+        # one-hot matmuls (exact at HIGHEST), not index gathers — a
+        # vmapped rhs[perm] gather costs ~15 ms at B=1024/n=290
+        # (round-4 trace) vs us-scale on the MXU.
+        hp = jax.lax.Precision.HIGHEST
+        bp = self.r * jnp.matmul(self.P, rhs.astype(jnp.float32),
+                                 precision=hp)
         xp = self.c * self._solve_fn(self.fband, bp)
-        return xp[iperm]
+        return jnp.matmul(self.P.T, xp, precision=hp)
 
     def solve(self, rhs):
         if rhs.ndim == 2:

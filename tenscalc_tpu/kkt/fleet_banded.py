@@ -361,11 +361,18 @@ class FleetBandedFactorization:
         Wp = jnp.matmul(
             P, jnp.matmul(W32, P.T, precision=hp), precision=hp
         )  # Wp[a, b] = WW[perm[a], perm[b]]
-        WpT = Wp.T  # == P WW^T P^T; equals Wp for symmetric WW, and the
-        # band consumes exactly the lower triangle of Wp either way
-        Y = jnp.concatenate([WpT, jnp.zeros((n, w), jnp.float32)], axis=1)
-        flat = jnp.concatenate([Y.reshape(-1), jnp.zeros((n,), jnp.float32)])
-        band = flat.reshape(n, n + w + 1)[:, : w + 1]
+        # band[c, i] = Wp[c+i, c]: the i-th SUB-diagonal, extracted with
+        # strided diagonal slices.  (The previous pad/flatten/reshape
+        # stride trick is equivalent single-instance but under vmap it
+        # rewrites the full (B, n, n+w) tensor through layout copies —
+        # ~30 ms/iteration at B=1024/n=290, round-4 trace.)
+        cols = []
+        for i in range(w + 1):
+            d = jnp.diagonal(Wp, offset=-i)          # (n - i,)
+            cols.append(jnp.concatenate(
+                [d, jnp.zeros((i,), jnp.float32)]
+            ) if i else d)
+        band = jnp.stack(cols, axis=1)               # (n, w+1)
         # Jacobi equilibration on the permuted diagonal
         diag = band[:, 0]
         s = lax.rsqrt(jnp.maximum(jnp.abs(diag), 1e-30))
@@ -381,14 +388,18 @@ class FleetBandedFactorization:
         factor_fn, solve_fn = _wrappers(w, clamp)
         self.fband = factor_fn(band)
         self._solve_fn = solve_fn
+        self.P = P
 
     def _solve32(self, rhs):
-        plan = self.plan
-        perm = jnp.asarray(plan.perm)
-        iperm = jnp.asarray(plan.iperm)
-        bp = self.s * rhs.astype(jnp.float32)[perm]
+        # permutation via one-hot matmul (exact at HIGHEST), NOT index
+        # gather: under vmap a rhs[perm] gather of (B, n) costs ~15 ms
+        # at B=1024/n=290 (element-wise random access + layout copies,
+        # round-4 trace) while the MXU contraction is ~us-scale
+        hp = jax.lax.Precision.HIGHEST
+        bp = self.s * jnp.matmul(self.P, rhs.astype(jnp.float32),
+                                 precision=hp)
         xp = self.s * self._solve_fn(self.fband, bp)
-        return xp[iperm]
+        return jnp.matmul(self.P.T, xp, precision=hp)
 
     def solve(self, rhs):
         if rhs.ndim == 2:

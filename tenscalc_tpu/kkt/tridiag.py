@@ -182,6 +182,30 @@ def tridiag_factorize(WW: jax.Array, plan: BandedPlan, n_refine: int = 2) -> Tri
     WWp = WWp * s_eq[:, None] * s_eq[None, :]
     A, B = _to_blocks(WWp, plan)
 
+    s = plan.block
+    # block-level pivot clamp (f32 only): the per-block LU pivots rows
+    # WITHIN a block, but the block recursion itself is unpivoted, so a
+    # Schur block D_i can become numerically singular on IPM-endgame
+    # systems and lu_solve then emits inf (round-4 l1l2 finding: the
+    # clamped/equilibrated fleet kernels sail through where this path
+    # produced an inf direction).  Clamping the U diagonal is the
+    # block-factor analog of the Cheng-Higham modification used by
+    # kkt/dense.py and the Pallas kernels; refinement against the true
+    # matrix recovers accuracy.
+    clamp = 1e-7 if fdt == jnp.float32 else 0.0
+    didx = jnp.arange(s)
+
+    def _clamp_lu(lu):
+        if clamp == 0.0:
+            return lu
+        d = lu[didx, didx]
+        dc = jnp.where(
+            jnp.abs(d) < clamp,
+            jnp.where(d >= 0, clamp, -clamp).astype(lu.dtype),
+            d,
+        )
+        return lu.at[didx, didx].set(dc)
+
     def step(carry, inp):
         Dprev_lu, Dprev_piv = carry
         A_i, B_i = inp
@@ -191,10 +215,11 @@ def tridiag_factorize(WW: jax.Array, plan: BandedPlan, n_refine: int = 2) -> Tri
         ).T
         D_i = A_i - L_i @ B_i.T
         lu_i, piv_i = jax.scipy.linalg.lu_factor(D_i)
+        lu_i = _clamp_lu(lu_i)
         return (lu_i, piv_i), (L_i, D_i, lu_i, piv_i)
 
-    s = plan.block
     lu0, piv0 = jax.scipy.linalg.lu_factor(A[0])
+    lu0 = _clamp_lu(lu0)
     # first stage: L_0 = 0, D_0 = A_0
     (_, _), (Ls_rest, Ds_rest, lus_rest, pivs_rest) = lax.scan(
         step, (lu0, piv0), (A[1:], B[1:])

@@ -37,19 +37,39 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "batch") -> Mesh:
 
 
 def batched_solve_fn(solver: OptimizeSolver, mesh: Optional[Mesh] = None,
-                     axis: str = "batch", donate: bool = False):
+                     axis: str = "batch", donate: bool = False,
+                     shared: Sequence[str] = ()):
     """Return a jitted function solving a batch of problem instances.
 
     Signature: ``fn(u0_batch, penv_batch, mu0, max_iter, addU0, addEq0)``
     where ``u0_batch`` is [B, nU] and every leaf of ``penv_batch`` has a
-    leading batch axis.  With a mesh, B must be divisible by the mesh
-    size and the batch is sharded across devices.
+    leading batch axis — EXCEPT parameters named in ``shared``, which
+    are passed unbatched (vmap in_axes=None).  Sharing matters: any
+    derivative matrix that depends only on shared parameters is
+    computed ONCE instead of per instance — for an MPC fleet whose
+    plant model is common across scenarios this removes the (B, nG, nU)
+    constraint-Jacobian materialization from the prologue (round-4
+    finding: 367 ms of an 834 ms MPC-MHE batch solve was per-instance
+    recomputation of instance-invariant Jacobians).
+
+    With a mesh, B must be divisible by the mesh size; the batch is
+    sharded across devices and shared parameters are replicated.
     """
+    shared = frozenset(shared)
     base = solver._solve_raw
-    vmapped = jax.vmap(base, in_axes=(0, 0, None, None, None, None))
+    penv_axes = {
+        p.name: (None if p.name in shared else 0)
+        for p in solver.parameters
+    }
+    vmapped = jax.vmap(base, in_axes=(0, penv_axes, None, None, None, None))
 
     if mesh is None:
         return jax.jit(vmapped)
+
+    penv_specs = {
+        p.name: (P() if p.name in shared else P(axis))
+        for p in solver.parameters
+    }
 
     def sharded(u0, penv, mu0, max_iter, addU0, addEq0):
         def shard_body(u0s, penvs):
@@ -60,7 +80,7 @@ def batched_solve_fn(solver: OptimizeSolver, mesh: Optional[Mesh] = None,
         res = shard_map(
             shard_body,
             mesh=mesh,
-            in_specs=(P(axis), P(axis)),
+            in_specs=(P(axis), penv_specs),
             out_specs=P(axis),
             check_vma=False,
         )(u0, penv)
@@ -79,18 +99,26 @@ def solve_batched(
     mesh: Optional[Mesh] = None,
 ):
     """Solve a batch: every parameter/init leaf carries a leading batch
-    axis B.  Returns the batched IPMResult (device arrays)."""
+    axis B.  A parameter passed with its UNBATCHED declared shape is
+    treated as shared across the batch (computed-once derivatives, see
+    :func:`batched_solve_fn`).  Returns the batched IPMResult (device
+    arrays)."""
     dt = solver.opts.np_dtype
     penv = {}
+    shared = set()
     B = None
     for p in solver.parameters:
         if p.name not in parameters:
             raise ValueError(f"missing parameter {p.name!r}")
         v = jnp.asarray(parameters[p.name], dt)
+        if tuple(v.shape) == p.shape:
+            shared.add(p.name)
+            penv[p.name] = v
+            continue
         if tuple(v.shape[1:]) != p.shape:
             raise ValueError(
-                f"parameter {p.name!r}: expected batched shape (B,)+{p.shape}, "
-                f"got {tuple(v.shape)}"
+                f"parameter {p.name!r}: expected batched shape (B,)+{p.shape} "
+                f"or shared shape {p.shape}, got {tuple(v.shape)}"
             )
         if B is None:
             B = v.shape[0]
@@ -118,7 +146,7 @@ def solve_batched(
         else jnp.zeros((B, 0), dt)
     )
 
-    fn = batched_solve_fn(solver, mesh=mesh)
+    fn = batched_solve_fn(solver, mesh=mesh, shared=sorted(shared))
     return fn(
         u0,
         penv,

@@ -204,3 +204,61 @@ def test_fleet_mpc_closed_loop():
     assert hist["x"].shape == (6, 8, 2)
     # states stay inside the box
     assert np.abs(hist["x"]).max() < 0.45
+
+
+def test_shared_parameters_match_batched():
+    """A parameter passed with its unbatched declared shape is shared
+    across the batch (vmap in_axes=None); results must match the fully
+    batched call on identical data."""
+    from examples import mpc_dcmotor
+
+    T = 10
+    solver = mpc_dcmotor.build_solver(T=T, namespace="ps_")
+    base = mpc_dcmotor.default_params(T, "ps_")
+    B = 4
+    rng = np.random.default_rng(0)
+    refs = np.stack(
+        [
+            mpc_dcmotor.reference_signal(t0 + np.arange(T) * 0.1)[None, :]
+            for t0 in np.linspace(0, 3, B)
+        ]
+    )
+    xinit = rng.uniform(-0.1, 0.1, (B, 2, 1))
+    inits = {
+        "ps_x": xinit + 0.01 * rng.random((B, 2, T)),
+        "ps_u": 0.01 * rng.random((B, 1, T - 1)),
+    }
+    # shared: every base parameter unbatched; batched: ref + xinit
+    params_shared = dict(base)
+    params_shared["ps_ref"] = refs
+    params_shared["ps_xinit"] = xinit
+    res_s = solve_batched(
+        solver, params_shared, inits=inits, mu0=1e-3, max_iter=100
+    )
+    assert (np.asarray(res_s.status) == 0).all(), res_s.status
+
+    params_full = {
+        k: np.broadcast_to(np.asarray(v, float), (B,) + np.asarray(v).shape).copy()
+        for k, v in base.items()
+    }
+    params_full["ps_ref"] = refs
+    params_full["ps_xinit"] = xinit
+    res_f = solve_batched(
+        solver, params_full, inits=inits, mu0=1e-3, max_iter=100
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_s.u), np.asarray(res_f.u), atol=1e-6
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res_s.iters), np.asarray(res_f.iters)
+    )
+
+
+def test_shared_parameter_wrong_shape_raises(qp_solver):
+    solver, n = qp_solver
+    B = 4
+    Qs, cs = _batch_data(n, B)
+    with pytest.raises(ValueError, match="expected batched shape"):
+        solve_batched(
+            solver, {"bQ": Qs, "bc": cs[:, : n - 1]}, mu0=1.0
+        )
