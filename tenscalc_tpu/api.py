@@ -181,6 +181,17 @@ class OptimizeSolver:
             self._fns, self.nU, self.nF, self.nG, dt,
             {p.name: p.shape for p in self.parameters},
         )
+        # scale-independence of the hoisted Hessian (band fast path can
+        # then evaluate it at unit scales + dummy iterate -> a pure
+        # function of the parameters, shared across fleets)
+        from .ipm.hoist import analyze_scale_free
+
+        self._hoist_scale_free = bool(self._hoist[0]) and analyze_scale_free(
+            self._fns, self.nU, self.nF, self.nG, dt,
+            {p.name: p.shape for p in self.parameters},
+            taint_ineq=bool(self.opts.scaleInequalities) and self.nF > 0,
+            taint_cost=self.opts.scaleCost > 0,
+        )
         self._solve_raw = build_ipm(
             self._fns, self.nU, self.nF, self.nG, self.opts,
             hoist=self._hoist,
@@ -188,6 +199,7 @@ class OptimizeSolver:
         self.kkt_plan = None
         self.kkt_backend_resolved = "dense"
         self._kkt_solver = None
+        self._band_plan = None
         if self.opts.kkt_backend == "ldl":
             from .kkt.dense import kkt_factorize
 
@@ -229,6 +241,8 @@ class OptimizeSolver:
                 fleet_init=self.kkt_backend_resolved
                 in ("fleet", "fleet_banded"),
                 batch_guard=False,
+                band_plan=getattr(self, "_band_plan", None),
+                hoist_scale_free=self._hoist_scale_free,
             )
         )
         if self.opts.verboseLevel >= 2:
@@ -253,18 +267,23 @@ class OptimizeSolver:
                     msg += f" {attr}={v}"
         print(msg)
 
-    def _install_backend(self, kkt_solver, name: str) -> None:
+    def _install_backend(self, kkt_solver, name: str,
+                         band_plan=None) -> None:
         """Rebuild the solve function with a structured KKT backend.
         ``fleet_init`` enables the CG nu-initializer on fleet backends
         (avoids a second Mosaic call site / slow XLA batched LU in the
-        prologue — see build_ipm)."""
+        prologue — see build_ipm); ``band_plan`` enables direct banded
+        assembly for hoisted problems (BandKKT)."""
         self.kkt_backend_resolved = name
         self._kkt_solver = kkt_solver
+        self._band_plan = band_plan
         self._solve_raw = build_ipm(
             self._fns, self.nU, self.nF, self.nG, self.opts,
             hoist=self._hoist,
             kkt_solver=kkt_solver,
             fleet_init=name in ("fleet", "fleet_banded"),
+            band_plan=band_plan,
+            hoist_scale_free=self._hoist_scale_free,
         )
 
     def _plan_structure(self) -> None:
@@ -340,16 +359,23 @@ class OptimizeSolver:
             if not plan.worthwhile:
                 self._use_fleet_dense()
                 return
-            from .kkt.fleet_banded import fleet_banded_kkt_factorize
+            from .ipm.solver import BandKKT
+            from .kkt.fleet_banded import (
+                FleetBandedFromBand,
+                fleet_banded_kkt_factorize,
+            )
 
             self.kkt_plan = plan
             n_ref = self.opts.refine_for("fleet_banded")
-            self._install_backend(
-                lambda WW: fleet_banded_kkt_factorize(
-                    WW, plan, n_refine=n_ref
-                ),
-                "fleet_banded",
-            )
+
+            def _kkt(WW, _plan=plan, _n=n_ref):
+                # band mode (QP-like hoisted problems) hands over the
+                # directly-assembled band; otherwise the dense matrix
+                if isinstance(WW, BandKKT):
+                    return FleetBandedFromBand(WW, _plan, n_refine=_n)
+                return fleet_banded_kkt_factorize(WW, _plan, n_refine=_n)
+
+            self._install_backend(_kkt, "fleet_banded", band_plan=plan)
             return
         if (
             not plan.worthwhile

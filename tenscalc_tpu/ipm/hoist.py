@@ -131,6 +131,65 @@ def output_independent_of(fn, n_tainted: int, *example_args) -> bool:
     return not any(_propagate(jaxpr, in_taint))
 
 
+def analyze_scale_free(fns, nU: int, nF: int, nG: int, dt, param_shapes,
+                       taint_ineq: bool, taint_cost: bool) -> bool:
+    """True if the Lagrangian Hessian d2L/du2 is independent of the
+    runtime scaling factors (scale_ineq, scale_cost) IN ADDITION to the
+    iterates.
+
+    Scale-independence holds exactly when the scaled terms contribute
+    no curvature — linear inequality constraints under
+    ``scaleInequalities`` (their Hessian is structurally zero) and
+    ``scaleCost == 0`` (unit cost scale).  When certified, the hoisted
+    Hessian can be evaluated at UNIT scales and a constant dummy
+    iterate, making it a pure function of the parameters: a fleet with
+    shared parameters then computes it once for the whole batch instead
+    of per instance (round-4: per-instance (B, nF, nU) Jacobian
+    broadcasts were ~60% of the long-horizon MPC iteration).
+
+    ``taint_ineq`` / ``taint_cost``: whether the respective scale
+    actually varies at runtime (static solver options); a statically
+    constant scale needs no certification.
+    """
+    penv = {k: jnp.zeros(s, dt) for k, s in param_shapes.items()}
+    u = jnp.zeros((nU,), dt)
+    nu = jnp.zeros((nG,), dt)
+    lam = jnp.ones((nF,), dt)
+    s_ineq = jnp.ones((nF,), dt)
+    s_cost = jnp.ones((), dt)
+
+    def lagr(u, nu, lam, s_ineq, s_cost):
+        val = s_cost * fns.f(u, penv)
+        if nF > 0:
+            val = val - lam @ (s_ineq * fns.F(u, penv))
+        if nG > 0:
+            val = val + nu @ fns.G(u, penv)
+        return val
+
+    n_taint = 3 + (1 if taint_ineq else 0) + (1 if taint_cost else 0)
+    # argument order puts the tainted scales right after the iterates
+    args = [u, nu, lam]
+    if taint_ineq:
+        args.append(s_ineq)
+    if taint_cost:
+        args.append(s_cost)
+
+    def Hfun(*a):
+        uu, nn, ll = a[0], a[1], a[2]
+        k = 3
+        si = a[k] if taint_ineq else s_ineq
+        k += 1 if taint_ineq else 0
+        sc = a[k] if taint_cost else s_cost
+        return jax.jacfwd(jax.grad(lagr, argnums=0), argnums=0)(
+            uu, nn, ll, si, sc
+        )
+
+    try:
+        return output_independent_of(Hfun, n_taint, *args)
+    except Exception:  # pragma: no cover - non-differentiable corner
+        return False
+
+
 def analyze_hoistable(fns, nU: int, nF: int, nG: int, dt, param_shapes):
     """Decide which IPM derivative matrices are iteration-invariant.
 

@@ -189,6 +189,87 @@ def line_search_affine(minF_of_alpha, alpha_max_, opts: SolverOptions, dt):
     return alpha.astype(dt)
 
 
+class BandKKT:
+    """Condensed KKT matrix in permuted lower-band storage with
+    structured matvecs — the dense (nK, nK) matrix is NEVER
+    materialized.
+
+    Motivation (round-4 trace): at T=256/B=256 the batched dense
+    assembly + permutation of a (B, 1279, 1279) tensor cost ~40 ms per
+    IPM iteration while the banded factor kernel itself ran in 72 us.
+    With hoisted H/Fu/Gu the per-iteration change to the KKT matrix is
+    only the diagonal barrier weights lam/F, so the band is assembled
+    directly in O(w * nF * nK) and every matvec (direction error,
+    refinement residuals, curvature) uses the structured constituents
+    in O(nU * (nF + nG)).
+    """
+
+    __slots__ = ("band", "P", "H", "Fu", "Gu", "dF", "addU", "addEq",
+                 "nU", "nG")
+
+    def __init__(self, band, P, H, Fu, Gu, dF, addU, addEq, nU, nG):
+        self.band = band      # (nK, w+1) lower band, permuted order
+        self.P = P            # (nK, nK) one-hot permutation
+        self.H = H            # Hessian (unit scales; certified equal)
+        self.Fu = Fu          # UNSCALED inequality Jacobian
+        self.Gu = Gu
+        # barrier diagonal weights WITH the inequality scaling folded
+        # in: Fu_s' diag(lam/F) Fu_s = Fu' diag(dF) Fu, dF = lam/F s^2
+        self.dF = dF
+        self.addU = addU
+        self.addEq = addEq
+        self.nU = nU
+        self.nG = nG
+
+    def matvec(self, x):
+        """WW @ x at HIGHEST precision via the constituents."""
+        xu = x[: self.nU]
+        xn = x[self.nU :]
+        yu = hdot(self.H, xu) + self.addU * xu
+        if self.dF.shape[0] > 0:
+            yu = yu + hdot(self.Fu.T, self.dF * hdot(self.Fu, xu))
+        if self.nG > 0:
+            yu = yu + hdot(self.Gu.T, xn)
+            yn = hdot(self.Gu, xu) - self.addEq * xn
+            return jnp.concatenate([yu, yn])
+        return yu
+
+    def abs_rowsum_max(self):
+        """Upper bound on max_i sum_j |WW[i, j]| (triangle inequality
+        through the constituents) — the backward-error scale."""
+        absFu = jnp.abs(self.Fu)
+        ru = jnp.sum(jnp.abs(self.H), axis=1) + jnp.abs(self.addU)
+        if self.dF.shape[0] > 0:
+            ru = ru + absFu.T @ (self.dF * jnp.sum(absFu, axis=1))
+        m = jnp.max(ru) if ru.shape[0] else jnp.zeros((), ru.dtype)
+        if self.nG > 0:
+            absGu = jnp.abs(self.Gu)
+            ru_g = jnp.sum(absGu, axis=0)
+            rn = jnp.sum(absGu, axis=1) + jnp.abs(self.addEq)
+            m = jnp.maximum(m, jnp.max(ru + ru_g))
+            m = jnp.maximum(m, jnp.max(rn))
+        return m
+
+
+class _Op11:
+    """WW11 = H + addU I as a matvec-only operator (band mode)."""
+
+    __slots__ = ("H", "addU")
+
+    def __init__(self, H, addU):
+        self.H = H
+        self.addU = addU
+
+    def __matmul__(self, x):
+        return hdot(self.H, x) + self.addU * x
+
+
+def _mvWW(WW, x):
+    if isinstance(WW, BandKKT):
+        return WW.matvec(x)
+    return hdot(WW, x)
+
+
 def _rough_solve(fac, rhs):
     """Unrefined f32 solve for the Mehrotra affine PREDICTOR: the
     affine direction only feeds the sigma heuristic and the second-order
@@ -211,6 +292,8 @@ def build_ipm(
     hoist=(False, False, False),
     fleet_init=False,
     batch_guard=True,
+    band_plan=None,
+    hoist_scale_free=False,
 ):
     """Build the jittable ``solve`` function for a problem instance.
 
@@ -242,6 +325,23 @@ def build_ipm(
     variant = opts.variant
     small = bool(opts.smallerNewtonMatrix)  # None (unresolved) -> large
     nK = nU + nG + (0 if small else nF)
+    # direct banded assembly (see BandKKT): possible when the KKT is
+    # condensed, a banded plan exists, and every derivative matrix is
+    # iteration-invariant (QP-like) so the band's constant part can be
+    # extracted once per solve
+    band_mode = (
+        band_plan is not None
+        and small
+        and hoist_H
+        and hoist_Fu
+        and (nG == 0 or hoist_Gu)
+        and nF > 0
+        and kkt_solver is not None
+        # the band-mode Hessian is evaluated at unit scales; requires
+        # scale-independence when a scale actually varies at runtime
+        and (hoist_scale_free or not (opts.scaleInequalities or
+                                      opts.scaleCost > 0))
+    )
 
     # desired inertia (lib/ipmPD_CSsolver.c:164-169)
     mp_desired = float(nU)
@@ -281,7 +381,7 @@ def build_ipm(
     # KKT assembly + direction (the formulation layer)
     # ------------------------------------------------------------------
     def assemble_ww(u, nu, lam, mu, addU, addEq, penv, scale_ineq, scale_cost,
-                    pre=None, cached=None):
+                    pre=None, cached=None, band=False):
         """Derivatives + KKT matrix for the selected variant (no solves).
 
         Exposed for structure probing (kkt/structure.py plans the banded
@@ -334,6 +434,34 @@ def build_ipm(
         else:
             Fdiv = Fval
         muF = mu / Fdiv if nF > 0 else jnp.zeros((0,), dt)
+
+        if band:
+            # direct banded assembly: band[c, i] = Wp[c+i, c] with
+            # Wp = P W P^T.  Constant part (H, Gu blocks) extracted
+            # once per solve (pre['band_const']); the per-iteration
+            # change is only the barrier diagonal.  Fu here is the
+            # UNSCALED Jacobian (prologue dummy hoist); the scaled
+            # Fu_s' diag(dF) Fu_s equals Fu' diag(dF * s^2) Fu, so the
+            # scale folds into the diagonal weights.
+            dF = lam / Fdiv
+            ds = dF * scale_ineq * scale_ineq
+            w_band = pre["band_const"].shape[1] - 1
+            cols = [
+                hdot(ds, pre["FuPP"][i]) for i in range(w_band + 1)
+            ]
+            bandv = pre["band_const"] + jnp.stack(cols, axis=1)
+            bandv = bandv.at[:, 0].add(
+                addU * pre["bmask_u"] - addEq * pre["bmask_g"]
+            )
+            WWop = BandKKT(
+                bandv, pre["Pm"], H, Fu, Gu, ds, addU, addEq, nU, nG
+            )
+            return dict(
+                WW=WWop, WW11=_Op11(H, addU), grad_u=grad_u, f_u=f_u,
+                Fu=Fu, Gu=Gu, Fval=Fval, Gval=Gval, muF=muF,
+                LPG=None, Fdiv=Fdiv, dF=dF,
+            )
+
         LPG = (lam / Fdiv)[:, None] * Fu if nF > 0 else jnp.zeros((0, nU), dt)
 
         if small:
@@ -395,7 +523,7 @@ def build_ipm(
         iteration (the previous behavior) diverges on curvature-poor
         problems like robustRegressL1."""
         a = assemble_ww(u, nu, lam, mu, addU, addEq, penv, scale_ineq,
-                        scale_cost, pre=pre, cached=cached)
+                        scale_cost, pre=pre, cached=cached, band=band_mode)
         WW, WW11 = a["WW"], a["WW11"]
         grad_u, Fu, Gu = a["grad_u"], a["Fu"], a["Gu"]
         Fval, Gval, muF, LPG = a["Fval"], a["Gval"], a["muF"], a["LPG"]
@@ -403,41 +531,66 @@ def build_ipm(
         mu_new = mu
         sigma_fired = jnp.asarray(False)
 
+        if band_mode:
+            dF_w = a["dF"]
+
+            def fu_mv(x):
+                # scaled Jacobian as an operator: Fu_s @ x = s * (Fu x)
+                return scale_ineq * hdot(Fu, x)
+
+            def fuT_mv(y):
+                return hdot(Fu.T, scale_ineq * y)
+
+            def lpg_mv(x):
+                # diag(lam/F) Fu_s @ x without materializing LPG
+                return dF_w * fu_mv(x)
+        else:
+            def fu_mv(x):
+                return Fu @ x
+
+            def fuT_mv(y):
+                return Fu.T @ y
+
+            def lpg_mv(x):
+                return LPG @ x
+
         if small:
             fac = _factor(WW)
             if not opts.skipAffine:
                 b_a = jnp.concatenate(
-                    [-grad_u - (Fu.T @ lam if nF > 0 else 0.0), -Gval]
+                    [-grad_u - (fuT_mv(lam) if nF > 0 else 0.0), -Gval]
                 )
                 dx_a = _rough_solve(fac, b_a)
                 dU_a = dx_a[:nU]
                 dLambda_a = (
-                    -LPG @ dU_a - lam if nF > 0 else jnp.zeros((0,), dt)
+                    -lpg_mv(dU_a) - lam if nF > 0 else jnp.zeros((0,), dt)
                 )
                 use_corr = jnp.ones((), dt)
                 if mehrotra_mu is not None:
-                    mu_new, sigma_fired = mehrotra_mu(dU_a, dLambda_a, Fu, Fval)
+                    mu_new, sigma_fired = mehrotra_mu(
+                        dU_a, dLambda_a, fu_mv, Fval
+                    )
                     use_corr = sigma_fired.astype(dt)
                 muF_c = mu_new / Fdiv if nF > 0 else muF
                 # Mehrotra correction (lib/ipmPD_CS.m:319-322), gated on
                 # a useful affine step (see mehrotra_mu)
                 Meh = (
-                    use_corr * (Fu @ dU_a) * dLambda_a / Fdiv
+                    use_corr * fu_mv(dU_a) * dLambda_a / Fdiv
                     if nF > 0 else jnp.zeros((0,), dt)
                 )
-                r1 = -grad_u - (Fu.T @ (lam - muF_c + Meh) if nF > 0 else 0.0)
+                r1 = -grad_u - (fuT_mv(lam - muF_c + Meh) if nF > 0 else 0.0)
                 b = jnp.concatenate([r1, -Gval])
             else:
                 # rhs via the Lagrangian-gradient identity
                 # f_u + Gu'nu = grad_u + Fu'lam  (one reverse pass, not two)
                 muF_c = muF
-                r1 = -grad_u - (Fu.T @ (lam - muF) if nF > 0 else 0.0)
+                r1 = -grad_u - (fuT_mv(lam - muF) if nF > 0 else 0.0)
                 b = jnp.concatenate([r1, -Gval])
             dx = fac.solve(b)
             dU = dx[:nU]
             dNu = dx[nU:]
             if nF > 0:
-                dLambda = muF_c - LPG @ dU - lam
+                dLambda = muF_c - lpg_mv(dU) - lam
                 if not opts.skipAffine:
                     dLambda = dLambda - Meh
             else:
@@ -467,7 +620,9 @@ def build_ipm(
                     dLambda_a = dx_a[nU + nG:]
                     use_corr = jnp.ones((), dt)
                     if mehrotra_mu is not None:
-                        mu_new, sigma_fired = mehrotra_mu(dU_a, dLambda_a, Fu, Fval)
+                        mu_new, sigma_fired = mehrotra_mu(
+                            dU_a, dLambda_a, fu_mv, Fval
+                        )
                         use_corr = sigma_fired.astype(dt)
                     corr = (
                         use_corr * (Fu @ dU_a) * dLambda_a / lam - mu_new / lam
@@ -480,7 +635,7 @@ def build_ipm(
             dNu = dx[nU : nU + nG]
             dLambda = dx[nU + nG :]
 
-        derr = _norminf(hdot(WW, dx) - b)
+        derr = _norminf(_mvWW(WW, dx) - b)
         curvature = dU @ (WW11 @ dU)
         mp, mn = fac.inertia()
         if jnp.dtype(dt) == jnp.float64:
@@ -492,10 +647,12 @@ def build_ipm(
             # lam/F rows of a warm-start KKT reach 1e6+ while b -> 0).
             # The row-sum norm bound costs one reduction instead of an
             # exact || |WW| |dx| || matvec per iteration.
-            bscale = (
-                jnp.max(jnp.sum(jnp.abs(WW), axis=-1)) * _norminf(dx)
-                + _norminf(b)
+            rs = (
+                WW.abs_rowsum_max()
+                if isinstance(WW, BandKKT)
+                else jnp.max(jnp.sum(jnp.abs(WW), axis=-1))
             )
+            bscale = rs * _norminf(dx) + _norminf(b)
         return Direction(dU, dNu, dLambda, derr, curvature, mp, mn, dU_a,
                          dLambda_a, mu_new, sigma_fired, bscale), (
             grad_u,
@@ -635,15 +792,94 @@ def build_ipm(
         # hoist iteration-invariant derivative matrices out of the loop
         # (QP-like problems: constant Hessian, linear constraints)
         pre = {}
-        if hoist_H:
-            H0 = jax.jacfwd(jax.grad(lagr, argnums=0), argnums=0)(
-                u0, nu0, lam0
+        if band_mode:
+            # Band mode evaluates the certified-invariant derivatives at
+            # a CONSTANT dummy iterate and UNIT scales: the results are
+            # then pure functions of the parameters, so a fleet with
+            # shared parameters computes them once for the whole batch
+            # (computed from the batched u0 they would carry a spurious
+            # batch axis and every downstream matvec would broadcast the
+            # Jacobian per instance — round-4 trace: ~60% of the
+            # long-horizon iteration).  pre['Fu'] is the UNSCALED
+            # Jacobian here; scaling is applied operator-style
+            # (fu_mv/fuT_mv) everywhere downstream.
+            u_d = jnp.zeros((nU,), dt)
+            nu_d = jnp.zeros((nG,), dt)
+            lam_d = jnp.ones((nF,), dt)
+            ones_f = jnp.ones((nF,), dt)
+            one_c = jnp.ones((), dt)
+            _, _, _, lagr_d = scaled_fns(penv, ones_f, one_c)
+            H0 = jax.jacfwd(jax.grad(lagr_d, argnums=0), argnums=0)(
+                u_d, nu_d, lam_d
             )
             pre["H"] = 0.5 * (H0 + H0.T)
-        if hoist_Fu and nF > 0:
-            pre["Fu"] = jax.jacfwd(Fs)(u0)
-        if hoist_Gu and nG > 0:
-            pre["Gu"] = jax.jacfwd(Gs)(u0)
+            pre["Fu"] = jax.jacfwd(lambda uu: fns.F(uu, penv))(u_d)
+            if nG > 0:
+                pre["Gu"] = jax.jacfwd(lambda uu: fns.G(uu, penv))(u_d)
+        else:
+            if hoist_H:
+                H0 = jax.jacfwd(jax.grad(lagr, argnums=0), argnums=0)(
+                    u0, nu0, lam0
+                )
+                pre["H"] = 0.5 * (H0 + H0.T)
+            if hoist_Fu and nF > 0:
+                pre["Fu"] = jax.jacfwd(Fs)(u0)
+            if hoist_Gu and nG > 0:
+                pre["Gu"] = jax.jacfwd(Gs)(u0)
+
+        if band_mode:
+            # banded-assembly precompute (once per solve; see BandKKT):
+            # constant band of P [[H, Gu'], [Gu, 0]] P^T, the permuted
+            # UNSCALED inequality Jacobian FuP[k, c] = Fu_big[k, perm[c]]
+            # with its per-diagonal pair products, and the permuted
+            # diagonal block masks
+            import numpy as _np
+
+            perm_np = _np.asarray(band_plan.perm)
+            w_b = int(band_plan.bandwidth)
+            Pm = jnp.asarray(_np.eye(nK, dtype=_np.float64)[perm_np], dt)
+            hp_ = jax.lax.Precision.HIGHEST
+            H0p = pre["H"]
+            Gu0p = pre.get("Gu", jnp.zeros((nG, nU), dt))
+            Wconst = jnp.concatenate(
+                [
+                    jnp.concatenate([H0p, Gu0p.T], axis=1),
+                    jnp.concatenate(
+                        [Gu0p, jnp.zeros((nG, nG), dt)], axis=1
+                    ),
+                ],
+                axis=0,
+            )
+            Wp0 = jnp.matmul(
+                Pm, jnp.matmul(Wconst, Pm.T, precision=hp_), precision=hp_
+            )
+            cols0 = []
+            for i in range(w_b + 1):
+                d0 = jnp.diagonal(Wp0, offset=-i)
+                if i:
+                    d0 = jnp.concatenate([d0, jnp.zeros((i,), dt)])
+                cols0.append(d0)
+            pre["band_const"] = jnp.stack(cols0, axis=1)
+            Fubig = jnp.concatenate(
+                [pre["Fu"], jnp.zeros((nF, nG), dt)], axis=1
+            )
+            FuP = jnp.matmul(Fubig, Pm.T, precision=hp_)
+            # per-diagonal pair products: band_F[c, i] =
+            # sum_k ds_k FuP[k, c+i] FuP[k, c] = (ds @ FuPP[i])[c] —
+            # ONE vector-matrix product per diagonal at runtime (a GEMM
+            # across a batch), no (nF, nK)-scale per-iteration tensors
+            pads = []
+            for i in range(w_b + 1):
+                gi = FuP[:, i:] * FuP[:, : nK - i]
+                if i:
+                    gi = jnp.concatenate(
+                        [gi, jnp.zeros((nF, i), dt)], axis=1
+                    )
+                pads.append(gi)
+            pre["FuPP"] = jnp.stack(pads, axis=0)
+            pre["bmask_u"] = jnp.asarray(perm_np < nU, dt)
+            pre["bmask_g"] = jnp.asarray(perm_np >= nU, dt)
+            pre["Pm"] = Pm
 
         hist0 = jnp.full(
             (opts.maxIter if opts.profiling else 0, 8), jnp.nan, dt
@@ -779,12 +1015,13 @@ def build_ipm(
             u, nu, lam, mu = st.u, st.nu, st.lam, st.mu
             addU, addEq = st.addU, st.addEq
 
-            def mehrotra_mu(dU_a, dLambda_a, Fu_, Fval_):
+            def mehrotra_mu(dU_a, dLambda_a, fu_mv_, Fval_):
                 # affine line search + sigma = rho^delta mu update,
                 # applied BEFORE the combined solve exactly as the
                 # reference's reactive groups do
-                # (lib/ipmPD_CSsolver.c:579-665)
-                FdU_a = Fu_ @ dU_a
+                # (lib/ipmPD_CSsolver.c:579-665).  ``fu_mv_`` applies
+                # the (scaled) inequality Jacobian as an operator.
+                FdU_a = fu_mv_(dU_a)
                 maxAlphaP_a = _clp(Fval_, FdU_a)
                 maxAlphaDI_a = _clp(lam, dLambda_a)
                 aMax = jnp.minimum(
@@ -1023,7 +1260,13 @@ def build_ipm(
             # reactive groups get the same effect from linear F rows
             # costing one I_sumprod each).
             F_affine = hoist_Fu and nF > 0 and opts.linesearch_affine_F
-            FdU = Fu @ dU if nF > 0 else None
+            if nF > 0:
+                # band mode carries the UNSCALED Jacobian in aux
+                FdU = (
+                    scale_ineq * hdot(Fu, dU) if band_mode else Fu @ dU
+                )
+            else:
+                FdU = None
 
             if F_affine:
                 def minF_at(alpha):
@@ -1053,7 +1296,7 @@ def build_ipm(
                 new_mu = dirn.mu_new
 
                 # combined-direction fraction-to-boundary + backtracking
-                maxAlphaPrimal = _clp(Fval, Fu @ dU)
+                maxAlphaPrimal = _clp(Fval, FdU)
                 if variant == "timesLambda" and not small:
                     maxAlphaDualIneq = _clp(jnp.ones((nF,), dt), dLambda)
                 else:

@@ -422,3 +422,56 @@ class FleetBandedFactorization:
 def fleet_banded_kkt_factorize(WW, plan: BandedPlan, n_refine: int = 2,
                                clamp: float = 1e-7):
     return FleetBandedFactorization(WW, plan, n_refine=n_refine, clamp=clamp)
+
+
+class FleetBandedFromBand:
+    """Same contract as :class:`FleetBandedFactorization` but consumes a
+    directly-assembled permuted band (ipm.solver.BandKKT) — the dense
+    KKT matrix is never formed.  Refinement residuals use the BandKKT's
+    structured matvec (HIGHEST-precision constituent products)."""
+
+    def __init__(self, op, plan: BandedPlan, n_refine: int = 1,
+                 clamp: float = 1e-7):
+        self.op = op
+        self.plan = plan
+        self.n_refine = n_refine
+        n, w = plan.n, plan.bandwidth
+        self.w = w
+        band = op.band.astype(jnp.float32)
+        diag = band[:, 0]
+        s = lax.rsqrt(jnp.maximum(jnp.abs(diag), 1e-30))
+        self.s = s
+        s_pad = jnp.concatenate([s, jnp.zeros((w,), jnp.float32)])
+        s_shift = jnp.stack(
+            [lax.dynamic_slice_in_dim(s_pad, i, n) for i in range(w + 1)],
+            axis=1,
+        )
+        band = band * s[:, None] * s_shift
+        factor_fn, solve_fn = _wrappers(w, clamp)
+        self.fband = factor_fn(band)
+        self._solve_fn = solve_fn
+        self.P = op.P.astype(jnp.float32)
+
+    def _solve32(self, rhs):
+        hp = jax.lax.Precision.HIGHEST
+        bp = self.s * jnp.matmul(self.P, rhs.astype(jnp.float32),
+                                 precision=hp)
+        xp = self.s * self._solve_fn(self.fband, bp)
+        return jnp.matmul(self.P.T, xp, precision=hp)
+
+    def solve(self, rhs):
+        if rhs.ndim == 2:
+            cols = [self.solve(rhs[:, k]) for k in range(rhs.shape[1])]
+            return jnp.stack(cols, axis=1)
+        dt = rhs.dtype
+        x = self._solve32(rhs).astype(dt)
+        for _ in range(self.n_refine):
+            x = x + self._solve32(rhs - self.op.matvec(x)).astype(dt)
+        return x
+
+    def inertia(self, tol: float = 0.0):
+        rt = jnp.result_type(self.op.band)
+        d = self.fband[:, 0]
+        mp = jnp.sum(d > tol).astype(rt)
+        mn = jnp.sum(d < -tol).astype(rt)
+        return mp, mn

@@ -93,15 +93,30 @@ def _trace_events(call, sync, n: int = 10):
 
 
 def kernel_times(call, sync, n: int = 3, match: str = "pallas"):
-    """Per-kernel device times for ops whose HLO name contains
-    ``match`` (e.g. the Mosaic custom calls): returns
+    """Per-kernel device times for ops whose HLO *opcode* matches
+    ``match`` ('custom-call' selects the Mosaic/custom kernels; a
+    substring like 'pallas' selects by op name): returns
     {name: {"us_per_occ": float, "occ_per_call": float}} or None."""
+    import re
+
     ev = _trace_events(call, sync, n=n)
     if ev is None:
         return None
     out = {}
     for name, (ps, cnt) in ev.items():
-        if match in name and cnt > 0:
+        if cnt <= 0:
+            continue
+        if match == "custom-call":
+            # opcode position: after the result shape, which ends in
+            # '}' or ')' — operand references ("%custom-call.N") inside
+            # the argument list are preceded by a space and must NOT
+            # match
+            hit = re.search(r"[})] custom-call\(", name) or name.startswith(
+                "%pallas"
+            ) or "_batched" in name.split(" = ")[0]
+        else:
+            hit = match in name
+        if hit:
             out[name.split(" = ")[0]] = {
                 "us_per_occ": round(ps / cnt / 1e6, 2),
                 "occ_per_call": round(cnt / n, 2),

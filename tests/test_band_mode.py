@@ -1,0 +1,124 @@
+"""Direct banded KKT assembly (ipm.solver.BandKKT): for hoisted
+(QP-like) problems on the fleet_banded backend the dense KKT matrix is
+never materialized — the band is assembled from the hoisted
+constituents and all matvecs (direction error, refinement, curvature)
+are structured.  These tests pin the band path to the dense backends'
+results."""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import tenscalc_tpu as tc
+from examples import mpc_dcmotor
+
+
+def _solve(ns, T=14, **opts):
+    s = mpc_dcmotor.build_solver(T=T, namespace=ns, dtype="float32", **opts)
+    base = mpc_dcmotor.default_params(T, ns)
+    params = dict(base)
+    params[ns + "ref"] = mpc_dcmotor.reference_signal(
+        np.arange(T) * 0.1
+    )[None, :]
+    params[ns + "xinit"] = np.array([[0.15], [0.1]])
+    init = {
+        ns + "x": params[ns + "xinit"] + 0.01 * np.ones((2, T)),
+        ns + "u": 0.01 * np.ones((1, T - 1)),
+    }
+    sol = s.solve(params, init=init, mu0=1e-3, max_iter=100)
+    u = np.concatenate(
+        [sol.variables[ns + "u"].ravel(), sol.variables[ns + "x"].ravel()]
+    )
+    return s, sol, u
+
+
+def test_band_mode_matches_dense(monkeypatch):
+    monkeypatch.setenv("TENSCALC_AUTO_FLEET", "1")
+    s, sol, u = _solve("bmt_")
+    assert s.kkt_backend_resolved == "fleet_banded"
+    assert s._band_plan is not None
+    assert s._hoist == (True, True, True)
+    assert sol.ok, sol.describe()
+
+    monkeypatch.setenv("TENSCALC_AUTO_FLEET", "0")
+    tc.expr.clear_variables()
+    sd, sold, ud = _solve("bmtd_", kkt_backend="dense")
+    assert sold.ok
+    np.testing.assert_allclose(u, ud, atol=5e-4)
+
+
+def test_band_mode_batched(monkeypatch):
+    """solve_many through the band path (shared plant params)."""
+    monkeypatch.setenv("TENSCALC_AUTO_FLEET", "1")
+    T, B = 14, 3
+    ns = "bmb_"
+    s = mpc_dcmotor.build_solver(T=T, namespace=ns, dtype="float32")
+    assert s._band_plan is not None
+    base = mpc_dcmotor.default_params(T, ns)
+    rng = np.random.default_rng(0)
+    params = dict(base)  # shared (unbatched)
+    params[ns + "ref"] = np.stack(
+        [
+            mpc_dcmotor.reference_signal(t0 + np.arange(T) * 0.1)[None, :]
+            for t0 in np.linspace(0, 2, B)
+        ]
+    )
+    params[ns + "xinit"] = rng.uniform(-0.1, 0.1, (B, 2, 1))
+    inits = {
+        ns + "x": params[ns + "xinit"] + 0.01 * rng.random((B, 2, T)),
+        ns + "u": 0.01 * rng.random((B, 1, T - 1)),
+    }
+    res = s.solve_many(params, inits=inits, mu0=1e-3, max_iter=100)
+    assert (np.asarray(res.status) == 0).all(), res.status
+    # per-instance agreement with single solves
+    for b in range(B):
+        sp = dict(base)
+        sp[ns + "ref"] = params[ns + "ref"][b]
+        sp[ns + "xinit"] = params[ns + "xinit"][b]
+        single = s.solve(
+            sp,
+            init={k: v[b] for k, v in inits.items()},
+            mu0=1e-3,
+            max_iter=100,
+        )
+        assert single.ok
+        # default (untightened) tolerances: batched vs single f32
+        # reduction orders stop at slightly different points inside the
+        # same tolerance ball
+        np.testing.assert_allclose(
+            np.asarray(res.u[b]),
+            np.concatenate(
+                [
+                    single.variables[ns + "u"].ravel(),
+                    single.variables[ns + "x"].ravel(),
+                ]
+            ),
+            atol=2e-3,
+        )
+
+
+def test_band_mode_not_used_for_nonhoisted(monkeypatch):
+    """A nonlinear (non-hoistable-Hessian) problem must stay on the
+    dense-assembly path even with a banded plan."""
+    monkeypatch.setenv("TENSCALC_AUTO_FLEET", "1")
+    tc.expr.clear_variables()
+    n = 80
+    x = tc.variable("bmnl_x", (n,))
+    p = tc.parameter("bmnl_p", (n,))
+    # chain-coupled quartic: Hessian depends on x -> hoist_H False
+    J = tc.norm2(x - p) + ((x[1:] - x[:-1]) ** 4).sum()
+    s = tc.optimize(
+        J, [x], constraints=[x >= -2.0, x <= 2.0], parameters=[p],
+        dtype="float32",
+    )
+    assert s._hoist[0] is False
+    # band_plan may be set, but the build must not enable band mode;
+    # the solve must still work end-to-end
+    rng = np.random.default_rng(0)
+    sol = s.solve({"bmnl_p": 0.1 * rng.standard_normal(n)},
+                  init={"bmnl_x": np.zeros(n)}, mu0=1.0, max_iter=60)
+    assert sol.ok, sol.describe()
