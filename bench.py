@@ -464,7 +464,7 @@ _REF_FLOPS_US = {
 }
 
 
-def bench_flops_curve(sizes=(30, 60, 100, 200, 300, 1000, 2000)):
+def bench_flops_curve(sizes=(30, 60, 100, 200, 300, 1000, 2000, 4000)):
     """The flops.m table (reference: 11.9/64/281/1382 us at N=30/60/100/
     150 with -O1; 4.63/23.6 ms at N=200/300 with -O0) on the TPU.
 

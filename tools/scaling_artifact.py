@@ -1,4 +1,4 @@
-"""Produce SCALING_r03.json — the best scaling evidence this
+"""Produce SCALING_r04.json — the best scaling evidence this
 environment allows (round-2 judge item #5).
 
 Three sections:
@@ -174,7 +174,7 @@ def main():
             out["single_chip_throughput_vs_B"] = tpu_section()
         except Exception as e:
             out["single_chip_throughput_vs_B"] = {"error": str(e)[:500]}
-    path = _REPO / "SCALING_r03.json"
+    path = _REPO / "SCALING_r04.json"
     path.write_text(json.dumps(out, indent=1))
     print(f"wrote {path}")
 
