@@ -91,6 +91,14 @@ def _device_batch_inputs(solver, B, ns, T, rng):
     return dparams, u0
 
 
+def _shared_names(solver, dparams):
+    """Parameters passed in their unbatched declared shape -> shared."""
+    declared = {p.name: p.shape for p in solver.parameters}
+    return sorted(
+        k for k, v in dparams.items() if tuple(v.shape) == declared[k]
+    )
+
+
 def _throughput(solver, B, ns, T, rng, n_queued=5, chunk=CHUNK):
     """(solves/s, converged, iters_max, batch_time) with queued
     true-sync timing; batches larger than ``chunk`` are dispatched as
@@ -102,10 +110,7 @@ def _throughput(solver, B, ns, T, rng, n_queued=5, chunk=CHUNK):
     from tenscalc_tpu.parallel import batched_solve_fn
 
     dparams, u0 = _device_batch_inputs(solver, B, ns, T, rng)
-    declared = {p.name: p.shape for p in solver.parameters}
-    shared = sorted(
-        k for k, v in dparams.items() if tuple(v.shape) == declared[k]
-    )
+    shared = _shared_names(solver, dparams)
     mu0 = jnp.asarray(1e-3, jnp.float32)
     a1 = jnp.asarray(1e-9, jnp.float32)
     a2 = jnp.asarray(1e-9, jnp.float32)

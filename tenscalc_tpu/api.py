@@ -192,6 +192,49 @@ class OptimizeSolver:
             taint_ineq=bool(self.opts.scaleInequalities) and self.nF > 0,
             taint_cost=self.opts.scaleCost > 0,
         )
+        # parameter-VALUE dependencies of each hoisted derivative (band
+        # fast path masks the irrelevant parameters to constants so the
+        # hoisted tensors stay batch-free under vmapped fleets)
+        self._hoist_param_deps = None
+        if self._hoist_scale_free and self._hoist[1]:
+            from .ipm.hoist import param_value_deps
+
+            try:
+                penv_d = {
+                    p.name: jnp.zeros(p.shape, dt) for p in self.parameters
+                }
+                u_d = jnp.zeros((self.nU,), dt)
+                nu_d = jnp.zeros((self.nG,), dt)
+                lam_d = jnp.ones((self.nF,), dt)
+                fns_ = self._fns
+
+                def Hfun(penv, u, nu, lam):
+                    def lagr(uu):
+                        val = fns_.f(uu, penv)
+                        if self.nF > 0:
+                            val = val - lam @ fns_.F(uu, penv)
+                        if self.nG > 0:
+                            val = val + nu @ fns_.G(uu, penv)
+                        return val
+
+                    return jax.jacfwd(jax.grad(lagr))(u)
+
+                h_deps = param_value_deps(Hfun, penv_d, u_d, nu_d, lam_d)
+                fu_deps = param_value_deps(
+                    lambda penv, u: jax.jacfwd(
+                        lambda uu: fns_.F(uu, penv)
+                    )(u),
+                    penv_d, u_d,
+                ) if self.nF > 0 else set()
+                gu_deps = param_value_deps(
+                    lambda penv, u: jax.jacfwd(
+                        lambda uu: fns_.G(uu, penv)
+                    )(u),
+                    penv_d, u_d,
+                ) if self.nG > 0 else set()
+                self._hoist_param_deps = (h_deps, fu_deps, gu_deps)
+            except Exception:  # pragma: no cover - analysis best-effort
+                self._hoist_param_deps = None
         self._solve_raw = build_ipm(
             self._fns, self.nU, self.nF, self.nG, self.opts,
             hoist=self._hoist,
@@ -243,6 +286,7 @@ class OptimizeSolver:
                 batch_guard=False,
                 band_plan=getattr(self, "_band_plan", None),
                 hoist_scale_free=self._hoist_scale_free,
+                hoist_param_deps=self._hoist_param_deps,
             )
         )
         if self.opts.verboseLevel >= 2:
@@ -284,6 +328,7 @@ class OptimizeSolver:
             fleet_init=name in ("fleet", "fleet_banded"),
             band_plan=band_plan,
             hoist_scale_free=self._hoist_scale_free,
+            hoist_param_deps=self._hoist_param_deps,
         )
 
     def _plan_structure(self) -> None:

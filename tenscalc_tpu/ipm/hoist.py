@@ -131,6 +131,34 @@ def output_independent_of(fn, n_tainted: int, *example_args) -> bool:
     return not any(_propagate(jaxpr, in_taint))
 
 
+def param_value_deps(fn, penv_example, *args):
+    """The set of parameter names (keys of the dict first argument)
+    whose VALUES the outputs of ``fn(penv, *args)`` depend on.
+
+    A hoisted derivative can be independent of a parameter's value
+    (e.g. an MPC tracking Hessian vs the reference trajectory) while
+    its AD graph still touches it — under vmap that spurious dataflow
+    batches the whole computation per instance.  Evaluating with the
+    value-irrelevant parameters replaced by constant zeros makes the
+    hoisted tensor a function of only its true dependencies, so a fleet
+    whose true dependencies are shared computes it ONCE (round-4:
+    per-instance (B, nU, nU) Hessian hoists survived dummy-iterate
+    evaluation through exactly this path).
+
+    One jaxpr build + one cheap taint propagation per parameter.
+    """
+    closed = jax.make_jaxpr(fn)(penv_example, *args)
+    jaxpr = closed.jaxpr
+    keys = sorted(penv_example)  # jax flattens dicts in sorted key order
+    n_in = len(jaxpr.invars)
+    deps = set()
+    for idx, key in enumerate(keys):
+        in_taint = [i == idx for i in range(n_in)]
+        if any(_propagate(jaxpr, in_taint)):
+            deps.add(key)
+    return deps
+
+
 def analyze_scale_free(fns, nU: int, nF: int, nG: int, dt, param_shapes,
                        taint_ineq: bool, taint_cost: bool) -> bool:
     """True if the Lagrangian Hessian d2L/du2 is independent of the

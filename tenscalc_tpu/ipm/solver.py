@@ -109,6 +109,11 @@ HISTORY_COLUMNS = (
 
 
 class Direction(NamedTuple):
+    # NOTE: this tuple is the carry of the in-iteration adaptation
+    # while_loop (solver._iterate) — at B=1024 every extra field is
+    # copied in/out of the loop once per IPM iteration.  Keep it to
+    # what the driver actually consumes (the round-4 ablation found
+    # 1.1 ms/iteration of pure carry traffic in dead fields).
     dU: jax.Array
     dNu: jax.Array
     dLambda: jax.Array
@@ -116,8 +121,6 @@ class Direction(NamedTuple):
     curvature: jax.Array  # dU' WW11 dU
     mp: jax.Array         # positive inertia count
     mn: jax.Array         # negative inertia count
-    dU_a: jax.Array       # affine direction (zeros when skipAffine)
-    dLambda_a: jax.Array
     mu_new: jax.Array     # sigma-updated mu (Mehrotra); mu when skipAffine
     sigma_fired: jax.Array  # bool: the Mehrotra sigma update actually ran
     # (carried explicitly rather than inferred from mu_new != mu, which
@@ -294,6 +297,7 @@ def build_ipm(
     batch_guard=True,
     band_plan=None,
     hoist_scale_free=False,
+    hoist_param_deps=None,
 ):
     """Build the jittable ``solve`` function for a problem instance.
 
@@ -653,13 +657,17 @@ def build_ipm(
                 else jnp.max(jnp.sum(jnp.abs(WW), axis=-1))
             )
             bscale = rs * _norminf(dx) + _norminf(b)
-        return Direction(dU, dNu, dLambda, derr, curvature, mp, mn, dU_a,
-                         dLambda_a, mu_new, sigma_fired, bscale), (
-            grad_u,
-            Fu,
-            Fval,
-            Gval,
-        )
+        # slim the adaptation-loop carry: grad_u/Fval/Gval are the
+        # cached exit-test values (identical across the loop) and a
+        # hoisted Fu is loop-invariant — carrying them re-copies
+        # B x (nF x nU + ...) per trip (round-4 ablation: ~1 ms/iter at
+        # B=1024).  The driver reconstructs them (see _iterate).
+        if cached is not None and (hoist_Fu or nF == 0):
+            aux = ()
+        else:
+            aux = (grad_u, Fu, Fval, Gval)
+        return Direction(dU, dNu, dLambda, derr, curvature, mp, mn,
+                         mu_new, sigma_fired, bscale), aux
 
     def _factor(WW):
         if kkt_solver is not None:
@@ -808,14 +816,34 @@ def build_ipm(
             lam_d = jnp.ones((nF,), dt)
             ones_f = jnp.ones((nF,), dt)
             one_c = jnp.ones((), dt)
-            _, _, _, lagr_d = scaled_fns(penv, ones_f, one_c)
+
+            def _mask_env(deps):
+                # parameters the derivative's VALUE does not depend on
+                # are replaced by constant zeros: under a vmapped fleet
+                # the hoisted tensor then carries no spurious batch axis
+                # (hoist.param_value_deps)
+                if deps is None:
+                    return penv
+                return {
+                    k: (v if k in deps else jnp.zeros_like(v))
+                    for k, v in penv.items()
+                }
+
+            h_deps, fu_deps, gu_deps = (
+                hoist_param_deps
+                if hoist_param_deps is not None
+                else (None, None, None)
+            )
+            _, _, _, lagr_d = scaled_fns(_mask_env(h_deps), ones_f, one_c)
             H0 = jax.jacfwd(jax.grad(lagr_d, argnums=0), argnums=0)(
                 u_d, nu_d, lam_d
             )
             pre["H"] = 0.5 * (H0 + H0.T)
-            pre["Fu"] = jax.jacfwd(lambda uu: fns.F(uu, penv))(u_d)
+            penv_fu = _mask_env(fu_deps)
+            pre["Fu"] = jax.jacfwd(lambda uu: fns.F(uu, penv_fu))(u_d)
             if nG > 0:
-                pre["Gu"] = jax.jacfwd(lambda uu: fns.G(uu, penv))(u_d)
+                penv_gu = _mask_env(gu_deps)
+                pre["Gu"] = jax.jacfwd(lambda uu: fns.G(uu, penv_gu))(u_d)
         else:
             if hoist_H:
                 H0 = jax.jacfwd(jax.grad(lagr, argnums=0), argnums=0)(
@@ -1238,7 +1266,12 @@ def build_ipm(
                 addEq_next = jnp.where(was_retry, addEq, addEq_next)
                 inc_state = inc
 
-            grad_u, Fu, Fval, Gval = aux
+            if aux == ():
+                # reconstructed: cached exit-test values + hoisted Fu
+                grad_u, Fval, Gval = cached_vals
+                Fu = pre.get("Fu", jnp.zeros((nF, nU), dt))
+            else:
+                grad_u, Fu, Fval, Gval = aux
 
             # allowSave snapshot at the selected iterate (post-adapt
             # regularizations — the state whose WW the reference's

@@ -27,7 +27,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 import numpy as np
 
-from bench import FLAGSHIP_OPTS, _device_batch_inputs
+from bench import FLAGSHIP_OPTS, _device_batch_inputs, _shared_names
 from examples import mpc_dcmotor
 from tenscalc_tpu.parallel import batched_solve_fn
 
@@ -76,7 +76,7 @@ def run(name: str, B: int = 1024):
     opts.update(ov)
     solver = mpc_dcmotor.build_solver(T=T, namespace=ns, **opts)
     dparams, u0 = _device_batch_inputs(solver, B, ns, T, np.random.default_rng(0))
-    fn = batched_solve_fn(solver)
+    fn = batched_solve_fn(solver, shared=_shared_names(solver, dparams))
     mu0 = jnp.asarray(1e-3, jnp.float32)
     a = jnp.asarray(1e-9, jnp.float32)
 

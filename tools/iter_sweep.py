@@ -21,7 +21,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 import numpy as np
 
-from bench import FLAGSHIP_OPTS, _device_batch_inputs
+from bench import FLAGSHIP_OPTS, _device_batch_inputs, _shared_names
 from examples import mpc_dcmotor
 from tenscalc_tpu.parallel import batched_solve_fn
 
@@ -32,7 +32,7 @@ def main():
     ns = "bench_"  # reuse the bench solver namespace -> cached compile
     solver = mpc_dcmotor.build_solver(T=T, namespace=ns, **FLAGSHIP_OPTS)
     dparams, u0 = _device_batch_inputs(solver, B, ns, T, np.random.default_rng(0))
-    fn = batched_solve_fn(solver)
+    fn = batched_solve_fn(solver, shared=_shared_names(solver, dparams))
     mu0 = jnp.asarray(1e-3, jnp.float32)
     a = jnp.asarray(1e-9, jnp.float32)
 
