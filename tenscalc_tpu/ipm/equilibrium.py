@@ -189,8 +189,16 @@ def build_equilibrium_ipm(fns: _EqFns, dims, opts: SolverOptions,
 
     # build-time certification of iteration-invariant Jacobians
     hoist_S = hoist_Gz = hoist_Fz = False
+    # scale-independence of (Sz, Sn) + parameter-value dependencies:
+    # when certified, the hoisted blocks evaluate at dummy iterates,
+    # unit scales, and masked parameters — pure functions of their TRUE
+    # parameter dependencies, so a fleet with shared parameters keeps
+    # them batch-free (round-4: per-instance (B, nS, nZ) hoists were
+    # most of the 100 ms MPC-MHE fleet prologue)
+    hoist_S_sf = False
+    deps_S = deps_G = None
     if param_shapes is not None:
-        from .hoist import output_independent_of
+        from .hoist import output_independent_of, param_value_deps
 
         _penv_d = {k: jnp.zeros(s, dt) for k, s in param_shapes.items()}
         _fns_d = scaled_fns(
@@ -212,6 +220,69 @@ def build_equilibrium_ipm(fns: _EqFns, dims, opts: SolverOptions,
             )
         except Exception:  # pragma: no cover - non-differentiable corner
             hoist_S = False
+        if hoist_S:
+            # (Sz, Sn) additionally independent of the inequality
+            # scales?  (True for linear F — the scaled terms contribute
+            # no curvature.  Sl = -(s o Fz)' is always scale-dependent
+            # and is excluded.)  Scales that are statically constant
+            # (scaleInequalities off / scaleCost == 0) are not tainted.
+            _t_ineq = bool(opts.scaleInequalities) and nF > 0
+            _t_cost = opts.scaleCost > 0
+
+            def _SzSn(z, nu, lam, sfu, sfd, sc):
+                fns_s = scaled_fns(_penv_d, sfu, sfd, sc)
+                st = fns_s[6]
+                return (
+                    jax.jacfwd(st, argnums=0)(z, nu, lam),
+                    jax.jacfwd(st, argnums=1)(z, nu, lam),
+                )
+
+            try:
+                n_t = 3 + (2 if _t_ineq else 0) + (1 if _t_cost else 0)
+                if _t_ineq and _t_cost:
+                    hoist_S_sf = output_independent_of(
+                        _SzSn, 6, _z, _nu, _lam,
+                        jnp.ones((nFu,), dt), jnp.ones((nFd,), dt),
+                        jnp.ones((), dt),
+                    )
+                elif _t_ineq:
+                    hoist_S_sf = output_independent_of(
+                        lambda z, nu, lam, sfu, sfd: _SzSn(
+                            z, nu, lam, sfu, sfd, jnp.ones((), dt)
+                        ),
+                        5, _z, _nu, _lam,
+                        jnp.ones((nFu,), dt), jnp.ones((nFd,), dt),
+                    )
+                elif _t_cost:
+                    hoist_S_sf = output_independent_of(
+                        lambda z, nu, lam, sc: _SzSn(
+                            z, nu, lam, jnp.ones((nFu,), dt),
+                            jnp.ones((nFd,), dt), sc
+                        ),
+                        4, _z, _nu, _lam, jnp.ones((), dt),
+                    )
+                else:
+                    hoist_S_sf = True
+            except Exception:  # pragma: no cover
+                hoist_S_sf = False
+        if hoist_S_sf:
+            try:
+                deps_S = param_value_deps(
+                    lambda penv, z, nu, lam: (
+                        lambda st: (
+                            jax.jacfwd(st, argnums=0)(z, nu, lam),
+                            jax.jacfwd(st, argnums=1)(z, nu, lam),
+                        )
+                    )(
+                        scaled_fns(
+                            penv, jnp.ones((nFu,), dt),
+                            jnp.ones((nFd,), dt), jnp.ones((), dt),
+                        )[6]
+                    ),
+                    _penv_d, _z, _nu, _lam,
+                )
+            except Exception:  # pragma: no cover
+                deps_S = None
         if nGres:
             try:
                 hoist_Gz = output_independent_of(
@@ -219,6 +290,19 @@ def build_equilibrium_ipm(fns: _EqFns, dims, opts: SolverOptions,
                 )
             except Exception:  # pragma: no cover
                 hoist_Gz = False
+            if hoist_Gz:
+                try:
+                    deps_G = param_value_deps(
+                        lambda penv, z: jax.jacfwd(
+                            scaled_fns(
+                                penv, jnp.ones((nFu,), dt),
+                                jnp.ones((nFd,), dt), jnp.ones((), dt),
+                            )[3]
+                        )(z),
+                        _penv_d, _z,
+                    )
+                except Exception:  # pragma: no cover
+                    deps_G = None
         if nF:
             try:
                 hoist_Fz = output_independent_of(
@@ -507,16 +591,49 @@ def build_equilibrium_ipm(fns: _EqFns, dims, opts: SolverOptions,
         lam0 = mu0 / Fall(z0) if nF else jnp.zeros((0,), dt)
         nu0 = jnp.ones((nNu,), dt)
 
-        # hoisted iteration-invariant Jacobians (certified at build time)
+        # hoisted iteration-invariant Jacobians (certified at build
+        # time).  All certified blocks evaluate at the DUMMY iterate
+        # (value-equal by certification; computed from the batched z0
+        # they would carry a spurious batch axis under vmap); (Sz, Sn)
+        # additionally at unit scales with value-irrelevant parameters
+        # masked to constants when certified scale-free — batch-free
+        # for fleets with shared parameters.  Sl and Fz are genuinely
+        # scale-dependent (row/column scalings of the raw Jacobians)
+        # and keep the runtime scales.
         pre = {}
+        z_d = jnp.zeros((nZ,), dt)
+        nu_d = jnp.zeros((nNu,), dt)
+        lam_d = jnp.ones((nF,), dt)
+
+        def _mask_env(deps):
+            if deps is None:
+                return penv
+            return {
+                k: (v if k in deps else jnp.zeros_like(v))
+                for k, v in penv.items()
+            }
+
         if hoist_S:
-            pre["Sz"] = jax.jacfwd(stat, argnums=0)(z0, nu0, lam0)
-            pre["Sn"] = jax.jacfwd(stat, argnums=1)(z0, nu0, lam0)
-            pre["Sl"] = jax.jacfwd(stat, argnums=2)(z0, nu0, lam0)
+            if hoist_S_sf:
+                fns_u = scaled_fns(
+                    _mask_env(deps_S), jnp.ones((nFu,), dt),
+                    jnp.ones((nFd,), dt), jnp.ones((), dt),
+                )
+                stat_u = fns_u[6]
+                pre["Sz"] = jax.jacfwd(stat_u, argnums=0)(z_d, nu_d, lam_d)
+                pre["Sn"] = jax.jacfwd(stat_u, argnums=1)(z_d, nu_d, lam_d)
+            else:
+                pre["Sz"] = jax.jacfwd(stat, argnums=0)(z_d, nu_d, lam_d)
+                pre["Sn"] = jax.jacfwd(stat, argnums=1)(z_d, nu_d, lam_d)
+            pre["Sl"] = jax.jacfwd(stat, argnums=2)(z_d, nu_d, lam_d)
         if hoist_Gz and nGres:
-            pre["Gz"] = jax.jacfwd(Gall)(z0)
+            Gall_u = scaled_fns(
+                _mask_env(deps_G), jnp.ones((nFu,), dt),
+                jnp.ones((nFd,), dt), jnp.ones((), dt),
+            )[3]
+            pre["Gz"] = jax.jacfwd(Gall_u)(z_d)
         if hoist_Fz and nF:
-            pre["Fz"] = jax.jacfwd(Fall)(z0)
+            pre["Fz"] = jax.jacfwd(Fall)(z_d)
 
         st0 = EqState(
             z=z0, nu=nu0, lam=lam0, mu=mu0,

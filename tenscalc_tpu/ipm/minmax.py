@@ -144,6 +144,8 @@ def build_minmax_ipm(fns, nUu, nD, nFu, nFd, nGu, nGd, opts: SolverOptions,
     # matrices (same jaxpr taint analysis as build_ipm /
     # build_equilibrium_ipm; ipm/hoist.py)
     hoist_H = hoist_Gz = hoist_Fz = False
+    hoist_H_sf = False
+    deps_H = deps_Gz = None
     if param_shapes is not None:
         from .hoist import output_independent_of
 
@@ -165,6 +167,51 @@ def build_minmax_ipm(fns, nUu, nD, nFu, nFd, nGu, nGd, opts: SolverOptions,
             )
         except Exception:  # pragma: no cover
             hoist_H = False
+        if hoist_H:
+            # scale-independence + parameter-value deps: lets the
+            # hoisted Hessian evaluate at unit scales with irrelevant
+            # parameters masked -> batch-free under shared-param fleets
+            # (see equilibrium.py / hoist.analyze_scale_free rationale)
+            _t_ineq = bool(opts.scaleInequalities) and nF > 0
+            _t_cost = opts.scaleCost > 0
+
+            def _Hof(z, nu, lam, sfu, sfd, sc):
+                lg = scaled_fns(_penv_d, sfu, sfd, sc)[5]
+                return jax.jacfwd(jax.grad(lg, argnums=0), argnums=0)(
+                    z, nu, lam
+                )
+
+            try:
+                if _t_ineq or _t_cost:
+                    hoist_H_sf = output_independent_of(
+                        _Hof, 6, _z, _nu, _lam,
+                        jnp.ones((nFu,), dt), jnp.ones((nFd,), dt),
+                        jnp.ones((), dt),
+                    )
+                else:
+                    hoist_H_sf = True
+            except Exception:  # pragma: no cover
+                hoist_H_sf = False
+            if hoist_H_sf:
+                from .hoist import param_value_deps
+
+                try:
+                    deps_H = param_value_deps(
+                        lambda penv, z, nu, lam: jax.jacfwd(
+                            jax.grad(
+                                scaled_fns(
+                                    penv, jnp.ones((nFu,), dt),
+                                    jnp.ones((nFd,), dt),
+                                    jnp.ones((), dt),
+                                )[5],
+                                argnums=0,
+                            ),
+                            argnums=0,
+                        )(z, nu, lam),
+                        _penv_d, _z, _nu, _lam,
+                    )
+                except Exception:  # pragma: no cover
+                    deps_H = None
         if nG:
             try:
                 hoist_Gz = output_independent_of(
@@ -172,6 +219,21 @@ def build_minmax_ipm(fns, nUu, nD, nFu, nFd, nGu, nGd, opts: SolverOptions,
                 )
             except Exception:  # pragma: no cover
                 hoist_Gz = False
+            if hoist_Gz:
+                from .hoist import param_value_deps
+
+                try:
+                    deps_Gz = param_value_deps(
+                        lambda penv, z: jax.jacfwd(
+                            scaled_fns(
+                                penv, jnp.ones((nFu,), dt),
+                                jnp.ones((nFd,), dt), jnp.ones((), dt),
+                            )[4]
+                        )(z),
+                        _penv_d, _z,
+                    )
+                except Exception:  # pragma: no cover
+                    deps_Gz = None
         if nF:
             try:
                 hoist_Fz = output_independent_of(
@@ -334,21 +396,51 @@ def build_minmax_ipm(fns, nUu, nD, nFu, nFd, nGu, nGd, opts: SolverOptions,
         lam0 = mu0 / Fall(z0) if nF else jnp.zeros((0,), dt)
         nu0 = jnp.ones((nG,), dt)
 
-        # hoisted iteration-invariant derivatives (certified at build)
+        # hoisted iteration-invariant derivatives (certified at build):
+        # evaluated at DUMMY iterates (value-equal by certification; a
+        # batched z0 would drag a spurious batch axis through every
+        # downstream use), and — when certified scale-free — at unit
+        # scales with value-irrelevant parameters masked to constants
+        # (batch-free for shared-parameter fleets; see equilibrium.py)
         pre = {}
+        z_d = jnp.zeros((nZ,), dt)
+        nu_d = jnp.zeros((nG,), dt)
+        lam_d = jnp.ones((nF,), dt)
+
+        def _mask_env(deps):
+            if deps is None:
+                return penv
+            return {
+                k: (v if k in deps else jnp.zeros_like(v))
+                for k, v in penv.items()
+            }
+
         if hoist_H:
-            _H0 = jax.jacfwd(jax.grad(lagr, argnums=0), argnums=0)(
-                z0, nu0, lam0
-            )
+            if hoist_H_sf:
+                lagr_u = scaled_fns(
+                    _mask_env(deps_H), jnp.ones((nFu,), dt),
+                    jnp.ones((nFd,), dt), jnp.ones((), dt),
+                )[5]
+                _H0 = jax.jacfwd(jax.grad(lagr_u, argnums=0), argnums=0)(
+                    z_d, nu_d, lam_d
+                )
+            else:
+                _H0 = jax.jacfwd(jax.grad(lagr, argnums=0), argnums=0)(
+                    z_d, nu_d, lam_d
+                )
             pre["H"] = 0.5 * (_H0 + _H0.T)
         if hoist_Gz and nG:
-            pre["Gz"] = jax.jacfwd(Gall)(z0)
+            Gall_u = scaled_fns(
+                _mask_env(deps_Gz), jnp.ones((nFu,), dt),
+                jnp.ones((nFd,), dt), jnp.ones((), dt),
+            )[4]
+            pre["Gz"] = jax.jacfwd(Gall_u)(z_d)
         if hoist_Fz and nF:
             pre["Fuz"] = (
-                jax.jacfwd(Fu)(z0) if nFu else jnp.zeros((0, nZ), dt)
+                jax.jacfwd(Fu)(z_d) if nFu else jnp.zeros((0, nZ), dt)
             )
             pre["Fdz"] = (
-                jax.jacfwd(Fd)(z0) if nFd else jnp.zeros((0, nZ), dt)
+                jax.jacfwd(Fd)(z_d) if nFd else jnp.zeros((0, nZ), dt)
             )
 
         st0 = MinMaxState(
