@@ -89,7 +89,8 @@ class _EqFns(NamedTuple):
 
 
 def build_equilibrium_ipm(fns: _EqFns, dims, opts: SolverOptions,
-                          kkt_solver=None, param_shapes=None):
+                          kkt_solver=None, param_shapes=None,
+                          band_plan=None):
     """``param_shapes`` (name -> shape) enables the build-time jaxpr
     taint analysis (ipm/hoist.py): when the stationarity Jacobians
     Sz/Sn/Sl and the constraint Jacobians Gz/Fz are certified
@@ -97,7 +98,18 @@ def build_equilibrium_ipm(fns: _EqFns, dims, opts: SolverOptions,
     with linear dynamics), they are computed once per solve before the
     while_loop instead of by five jacfwd passes per iteration (the
     reference's reactive dependency groups give the same behavior,
-    lib/@csparse/dependencyGroups.m)."""
+    lib/@csparse/dependencyGroups.m).
+
+    ``band_plan`` (with a FromBand-capable ``kkt_solver``) enables
+    DIRECT banded assembly for fully-hoisted games: the large stacked
+    KKT's only iteration-varying pieces are the inequality scale
+    factors (which multiply whole rows/columns of the F blocks:
+    Sl_s = Sl_u diag(s), Fz_s = diag(s) Fz_u — exact bilinearity of the
+    Lagrangian in lambda and s) and three diagonals (addE1, -addE2,
+    Fv/lam), so the permuted band is ``const_band * g[c+i] * g[c] +
+    diagonal updates`` and the dense (nK, nK) matrix is never
+    materialized (the round-4 optimize-path BandKKT architecture,
+    ipm/solver.py; same banded blocks: lib/ipmPDeqlat_CS.m:300-415)."""
     nUu, nD, nX, nFu, nFd, nGu, nGd, nH = dims
     dt = opts.np_dtype
     nZ = nUu + nD + nX
@@ -311,8 +323,57 @@ def build_equilibrium_ipm(fns: _EqFns, dims, opts: SolverOptions,
             except Exception:  # pragma: no cover
                 hoist_Fz = False
 
+    # direct banded assembly (large-matrix branch): see docstring.
+    # Requires every block of the stacked KKT to be hoisted — Sz/Sn
+    # additionally scale-free (hoist_S_sf) since they enter the constant
+    # band verbatim; Sl/Fz need only z-independence because their scale
+    # dependence is an exact row/column scaling folded in at runtime.
+    band_mode = (
+        band_plan is not None
+        and kkt_solver is not None
+        and not opts.smallerNewtonMatrix
+        and nF > 0
+        and hoist_S
+        and hoist_S_sf
+        and hoist_Fz
+        and (nGres == 0 or hoist_Gz)
+    )
+    deps_Sl = deps_Fz = None
+    if band_mode:
+        from .hoist import param_value_deps as _pvd
+
+        _penv_d2 = {k: jnp.zeros(s_, dt) for k, s_ in param_shapes.items()}
+        _z2 = jnp.zeros((nZ,), dt)
+        _nu2 = jnp.zeros((nNu,), dt)
+        _lam2 = jnp.ones((nF,), dt)
+        try:
+            deps_Sl = _pvd(
+                lambda penv, z, nu, lam: jax.jacfwd(
+                    scaled_fns(
+                        penv, jnp.ones((nFu,), dt), jnp.ones((nFd,), dt),
+                        jnp.ones((), dt),
+                    )[6],
+                    argnums=2,
+                )(z, nu, lam),
+                _penv_d2, _z2, _nu2, _lam2,
+            )
+        except Exception:  # pragma: no cover
+            deps_Sl = None
+        try:
+            deps_Fz = _pvd(
+                lambda penv, z: jax.jacfwd(
+                    scaled_fns(
+                        penv, jnp.ones((nFu,), dt), jnp.ones((nFd,), dt),
+                        jnp.ones((), dt),
+                    )[2]
+                )(z),
+                _penv_d2, _z2,
+            )
+        except Exception:  # pragma: no cover
+            deps_Fz = None
+
     def assemble_ww(z, nu, lam, penv, sFu, sFd, sc, addE1, addE2,
-                    cached=None, pre=None):
+                    cached=None, pre=None, band=False):
         """KKT matrix + derivatives for the active branch (no solves).
         Exposed as ``solve._assemble_ww`` for build-time structure
         probing (kkt/structure.py) — same hook as build_ipm's."""
@@ -326,6 +387,62 @@ def build_equilibrium_ipm(fns: _EqFns, dims, opts: SolverOptions,
             sv = stat(z, nu, lam)
             Fv = Fall(z)
             Gv = Gall(z)
+
+        if band:
+            # direct banded assembly (see build docstring): the permuted
+            # band is const_band * g[row] * g[col] + diagonal updates,
+            # with g = 1 except on the F rows/cols where g = s (the
+            # inequality scales).  SelF maps F index k to its permuted
+            # band position; diagonals: +addE1 on the z block, -addE2 on
+            # the nu block, Fv/lam on the F block
+            # (lib/ipmPDeqlat_CS.m:300-415 large branch).
+            from ..kkt.band_assemble import BandedOperator, shifted_cols
+            from ..kkt.dense import hdot as _hd
+
+            s_all = jnp.concatenate([sFu, sFd])
+            w_b = band_plan.bandwidth
+            gp = pre["m_notF"] + _hd(pre["SelF"], s_all)
+            gsh = shifted_cols(gp, w_b)                    # gp[c+i]
+            lb = pre["band_const_l"] * gsh * gp[:, None]
+            ub = pre["band_const_u"] * gp[:, None] * gsh[:, 1:]
+            d3 = Fv / lam
+            diag_add = (
+                addE1 * pre["m_e1"] - addE2 * pre["m_e2"]
+                + _hd(pre["SelF"], d3)
+            )
+            lb = lb.at[:, 0].add(diag_add)
+            band_arr = jnp.concatenate([lb, ub], axis=1)
+            Sz_u, Sn_u, Sl_u = pre["Sz"], pre["Sn"], pre["Sl_u"]
+            Gz_u, Fz_u = pre["Gz_b"], pre["Fz_u"]
+
+            def mv(x):
+                xz = x[:nZ]
+                xn = x[nZ : nZ + nNu]
+                xf = x[nZ + nNu :]
+                r1 = _hd(Sz_u, xz) + _hd(Sn_u, xn) + _hd(Sl_u, s_all * xf)
+                r2 = _hd(Gz_u, xz)
+                r3 = s_all * _hd(Fz_u, xz) + d3 * xf
+                out = jnp.concatenate([r1, r2, r3])
+                # the addE1/-addE2 recovery regularization acts on the
+                # GLOBAL diagonal (crossing block-row boundaries when
+                # nX > 0), exactly like the dense branch's jnp.diag(shift)
+                shift = jnp.concatenate(
+                    [
+                        addE1 * jnp.ones((nZ,), dt),
+                        -addE2 * jnp.ones((nNu,), dt),
+                        jnp.zeros((nF,), dt),
+                    ]
+                )
+                return out + shift * x
+
+            op = BandedOperator(band_arr, pre["Pm"], mv)
+
+            def fz_mv(x):
+                return s_all * _hd(Fz_u, x)
+
+            return dict(WW=op, sv=sv, Fv=Fv, Gv=Gv, Sl=None, Gz=None,
+                        Fz=None, LFF=None, fz_mv=fz_mv)
+
         Sz = pre.get("Sz")
         if Sz is None:
             Sz = jax.jacfwd(stat, argnums=0)(z, nu, lam)
@@ -414,9 +531,12 @@ def build_equilibrium_ipm(fns: _EqFns, dims, opts: SolverOptions,
     def compute_direction(z, nu, lam, mu, penv, sFu, sFd, sc,
                           addE1, addE2, cached=None, pre=None):
         a = assemble_ww(z, nu, lam, penv, sFu, sFd, sc, addE1, addE2,
-                        cached=cached, pre=pre)
+                        cached=cached, pre=pre, band=band_mode)
         sv, Fv, Gv = a["sv"], a["Fv"], a["Gv"]
         Sl, Gz, Fz = a["Sl"], a["Gz"], a["Fz"]
+        # the scaled inequality Jacobian as an operator: band mode never
+        # materializes Fz (fz_mv applies diag(s) Fz_u)
+        fz_mv = a.get("fz_mv") or (lambda x: Fz @ x)
         _, _, Fall, _, _, _, _ = scaled_fns(penv, sFu, sFd, sc)
         if opts.smallerNewtonMatrix and nF:
             WWs, LFF = a["WW"], a["LFF"]
@@ -439,7 +559,7 @@ def build_equilibrium_ipm(fns: _EqFns, dims, opts: SolverOptions,
                 dxz_a = _rough_solve(fac_s, b_a)
                 dZ_a = dxz_a[:nZ]
                 dLam_a = -lam - LFF @ dZ_a
-                maxAlphaP_a = _clp(Fv, Fz @ dZ_a)
+                maxAlphaP_a = _clp(Fv, fz_mv(dZ_a))
                 maxAlphaDI_a = _clp(lam, dLam_a)
                 aMax = jnp.minimum(
                     jnp.minimum(maxAlphaP_a, opts.alphaMax), maxAlphaDI_a
@@ -447,7 +567,7 @@ def build_equilibrium_ipm(fns: _EqFns, dims, opts: SolverOptions,
 
                 if hoist_Fz and opts.linesearch_affine_F:
                     # F affine in z (certified at build): one broadcast, exact
-                    FdZ_a = Fz @ dZ_a
+                    FdZ_a = fz_mv(dZ_a)
 
                     def minF_a(alpha):
                         return jnp.min(Fv + alpha * FdZ_a)
@@ -478,7 +598,7 @@ def build_equilibrium_ipm(fns: _EqFns, dims, opts: SolverOptions,
                 do_sigma = (alpha_a > opts.alphaMax / 2) & eq_ok
                 mu_new = jnp.where(do_sigma, sigma * gap_now / nF, mu)
                 muF2 = mu_new / Fv
-                Meh = (Fz @ dZ_a) * dLam_a / Fv
+                Meh = fz_mv(dZ_a) * dLam_a / Fv
                 b_s = jnp.concatenate(
                     [-stat_ff - Sl @ muF2 - Sl @ Meh, -Gv]
                 )
@@ -487,10 +607,13 @@ def build_equilibrium_ipm(fns: _EqFns, dims, opts: SolverOptions,
                 dLam = muF2 - lam - LFF @ dZ_s - Meh
             derr = _norminf(hdot(WWs, dxz) - b_s)
             dx = jnp.concatenate([dxz, dLam])
-            return dx, mu_new, derr, sv, Fz, Fv, Gv
+            return dx, mu_new, derr, sv, fz_mv(dx[:nZ]), Fv, Gv
 
         WW = a["WW"]
         fac = _factor(WW)
+
+        def wmv(v):
+            return WW.matvec(v) if band_mode else hdot(WW, v)
 
         if opts.skipAffine or nF == 0:
             b = jnp.concatenate(
@@ -512,7 +635,7 @@ def build_equilibrium_ipm(fns: _EqFns, dims, opts: SolverOptions,
             dZ_a = dx_a[:nZ]
             dLam_a = dx_a[nZ + nNu :]
 
-            maxAlphaP_a = _clp(Fv, Fz @ dZ_a)
+            maxAlphaP_a = _clp(Fv, fz_mv(dZ_a))
             maxAlphaDI_a = _clp(lam, dLam_a)
             aMax = jnp.minimum(
                 jnp.minimum(maxAlphaP_a, opts.alphaMax), maxAlphaDI_a
@@ -520,7 +643,7 @@ def build_equilibrium_ipm(fns: _EqFns, dims, opts: SolverOptions,
 
             if hoist_Fz and opts.linesearch_affine_F:
                 # F affine in z (certified at build): one broadcast, exact
-                FdZ_a = Fz @ dZ_a
+                FdZ_a = fz_mv(dZ_a)
 
                 def minF_a(alpha):
                     return jnp.min(Fv + alpha * FdZ_a)
@@ -550,11 +673,11 @@ def build_equilibrium_ipm(fns: _EqFns, dims, opts: SolverOptions,
             do_sigma = (alpha_a > opts.alphaMax / 2) & eq_ok
             mu_new = jnp.where(do_sigma, sigma * gap_now / nF, mu)
 
-            Meh = (Fz @ dZ_a) * dLam_a / lam
+            Meh = fz_mv(dZ_a) * dLam_a / lam
             b = jnp.concatenate([-sv, -Gv, -Fv - Meh + mu_new / lam])
             dx = fac.solve(b)
-        derr = _norminf(hdot(WW, dx) - b)
-        return dx, mu_new, derr, sv, Fz, Fv, Gv
+        derr = _norminf(wmv(dx) - b)
+        return dx, mu_new, derr, sv, fz_mv(dx[:nZ]), Fv, Gv
 
     def solve(z0, penv, mu0=1.0, max_iter=None, addE10=1e-9,
               addE20=1e-9) -> IPMResult:
@@ -625,15 +748,84 @@ def build_equilibrium_ipm(fns: _EqFns, dims, opts: SolverOptions,
             else:
                 pre["Sz"] = jax.jacfwd(stat, argnums=0)(z_d, nu_d, lam_d)
                 pre["Sn"] = jax.jacfwd(stat, argnums=1)(z_d, nu_d, lam_d)
-            pre["Sl"] = jax.jacfwd(stat, argnums=2)(z_d, nu_d, lam_d)
+            if not band_mode:
+                # runtime scales (band mode hoists Sl at UNIT scales and
+                # folds the scale in operator-style — a runtime-scaled
+                # hoist would drag a batch axis through the band)
+                pre["Sl"] = jax.jacfwd(stat, argnums=2)(z_d, nu_d, lam_d)
         if hoist_Gz and nGres:
             Gall_u = scaled_fns(
                 _mask_env(deps_G), jnp.ones((nFu,), dt),
                 jnp.ones((nFd,), dt), jnp.ones((), dt),
             )[3]
             pre["Gz"] = jax.jacfwd(Gall_u)(z_d)
-        if hoist_Fz and nF:
+        if hoist_Fz and nF and not band_mode:
             pre["Fz"] = jax.jacfwd(Fall)(z_d)
+
+        if band_mode:
+            # banded-assembly precompute (once per solve): unit-scale
+            # masked Sl/Fz hoists, the permuted constant band of
+            # [[Sz, Sn, Sl_u], [Gz, 0, 0], [Fz_u, 0, 0]], and the
+            # diagonal-placement masks.  All tensors here are pure
+            # functions of their true parameter dependencies — batch-free
+            # under shared-parameter fleets.
+            from ..kkt.band_assemble import (
+                extract_band_lower,
+                extract_band_upper,
+                perm_onehot,
+            )
+
+            stat_sl = scaled_fns(
+                _mask_env(deps_Sl), jnp.ones((nFu,), dt),
+                jnp.ones((nFd,), dt), jnp.ones((), dt),
+            )[6]
+            pre["Sl_u"] = jax.jacfwd(stat_sl, argnums=2)(z_d, nu_d, lam_d)
+            Fall_u = scaled_fns(
+                _mask_env(deps_Fz), jnp.ones((nFu,), dt),
+                jnp.ones((nFd,), dt), jnp.ones((), dt),
+            )[2]
+            pre["Fz_u"] = jax.jacfwd(Fall_u)(z_d)
+            pre["Gz_b"] = pre.get("Gz", jnp.zeros((0, nZ), dt))
+
+            perm_np = np.asarray(band_plan.perm)
+            w_b = int(band_plan.bandwidth)
+            nK_b = nZ + nNu + nF
+            Pm = perm_onehot(perm_np, dt)
+            hp_ = jax.lax.Precision.HIGHEST
+            Wconst = jnp.concatenate(
+                [
+                    jnp.concatenate(
+                        [pre["Sz"], pre["Sn"], pre["Sl_u"]], axis=1
+                    ),
+                    jnp.concatenate(
+                        [
+                            pre["Gz_b"],
+                            jnp.zeros((nGres, nNu + nF), dt),
+                        ],
+                        axis=1,
+                    ),
+                    jnp.concatenate(
+                        [pre["Fz_u"], jnp.zeros((nF, nNu + nF), dt)],
+                        axis=1,
+                    ),
+                ],
+                axis=0,
+            )
+            Wp0 = jnp.matmul(
+                Pm, jnp.matmul(Wconst, Pm.T, precision=hp_), precision=hp_
+            )
+            pre["band_const_l"] = extract_band_lower(Wp0, w_b)
+            pre["band_const_u"] = extract_band_upper(Wp0, w_b)
+            pre["m_e1"] = jnp.asarray(perm_np < nZ, dt)
+            pre["m_e2"] = jnp.asarray(
+                (perm_np >= nZ) & (perm_np < nZ + nNu), dt
+            )
+            pre["m_notF"] = jnp.asarray(perm_np < nZ + nNu, dt)
+            SelF = np.zeros((nK_b, nF))
+            fmask = perm_np >= nZ + nNu
+            SelF[np.arange(nK_b)[fmask], perm_np[fmask] - nZ - nNu] = 1.0
+            pre["SelF"] = jnp.asarray(SelF, dt)
+            pre["Pm"] = Pm
 
         st0 = EqState(
             z=z0, nu=nu0, lam=lam0, mu=mu0,
@@ -727,7 +919,7 @@ def build_equilibrium_ipm(fns: _EqFns, dims, opts: SolverOptions,
                 )
 
             if not (opts.addEye2Hessian and opts.adjustAddEye2Hessian):
-                dx, mu_aff, derr, sv, Fz, Fv, Gv = direction(addE2)
+                dx, mu_aff, derr, sv, FzdZ, Fv, Gv = direction(addE2)
                 addE2_next = addE2
             else:
                 # the reference driver's adjust loop
@@ -787,7 +979,7 @@ def build_equilibrium_ipm(fns: _EqFns, dims, opts: SolverOptions,
                     (jnp.zeros((), jnp.int32), addE2, zeros,
                      jnp.asarray(jnp.inf, dt)),
                 )
-                dx, mu_aff, derr, sv, Fz, Fv, Gv = res
+                dx, mu_aff, derr, sv, FzdZ, Fv, Gv = res
                 addE2_next = jnp.where(
                     (derr < _derr_tol(dt)) & (addE2 > ADDE_MIN),
                     jnp.maximum(0.75 * addE2, ADDE_MIN),
@@ -800,8 +992,6 @@ def build_equilibrium_ipm(fns: _EqFns, dims, opts: SolverOptions,
             dLam = dx[nZ + nNu :]
 
             if nF and hoist_Fz and opts.linesearch_affine_F:
-                FzdZ = Fz @ dZ
-
                 def minF_at(alpha):
                     return jnp.min(Fv + alpha * FzdZ)
             else:
@@ -821,7 +1011,7 @@ def build_equilibrium_ipm(fns: _EqFns, dims, opts: SolverOptions,
                 new_lam = lam
                 new_mu = mu
             else:
-                maxAlphaP = _clp(Fv, Fz @ dZ)
+                maxAlphaP = _clp(Fv, FzdZ)
                 maxAlphaDI = _clp(lam, dLam)
                 alphaP = maxAlphaP
                 if opts.coupledAlphas:
@@ -927,6 +1117,7 @@ def build_equilibrium_ipm(fns: _EqFns, dims, opts: SolverOptions,
         )
 
     solve._assemble_ww = assemble_ww  # exposed for structure probing
+    solve._band_mode = "hoisted" if band_mode else None  # introspection
     return solve
 
 
@@ -1055,6 +1246,9 @@ class EquilibriumSolver:
                 self._solve_raw = build_equilibrium_ipm(
                     self._fns, dims, self.opts, kkt_solver=kkt_solver,
                     param_shapes=pshapes,
+                    # direct banded assembly needs a FromBand-capable
+                    # backend (the fleet banded LU kernel)
+                    band_plan=plan if name == "fleet_banded_lu" else None,
                 )
         self._solve_jit = jax.jit(self._solve_raw)
         self._Solution = Solution

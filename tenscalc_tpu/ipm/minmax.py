@@ -79,7 +79,7 @@ class MinMaxState(NamedTuple):
 
 
 def build_minmax_ipm(fns, nUu, nD, nFu, nFd, nGu, nGd, opts: SolverOptions,
-                     kkt_solver=None, param_shapes=None):
+                     kkt_solver=None, param_shapes=None, band_plan=None):
     """fns: namedtuple-ish with f(z,penv), Fu, Fd, Gu, Gd all (z,penv)->vec.
 
     ``kkt_solver`` optionally replaces the dense factorization of the
@@ -89,6 +89,16 @@ def build_minmax_ipm(fns, nUu, nD, nFu, nFd, nGu, nGd, opts: SolverOptions,
     structured/fleet machinery too).  The saddle KKT of horizon games is
     block-banded exactly like the optimize case
     (lib/ipmPDminmax_CS.m:214-241 stacks the same banded blocks).
+
+    ``band_plan`` (with a FromBand-capable ``kkt_solver``) enables
+    DIRECT banded assembly for fully-hoisted saddle problems: the only
+    iteration-varying pieces of the saddle KKT are the inequality
+    scale factors (exact row/column scalings of the F blocks:
+    Fuz_s = diag(sFu) Fuz_u) and the global diagonal (±addU/addD,
+    -addEq, d3 = [-Fu/lamU; Fd/lamD]), so the permuted band is
+    ``const_band * g[c+i] * g[c] + diagonal updates`` and the dense
+    (nK, nK) matrix is never materialized (the round-4 optimize-path
+    BandKKT architecture, ipm/solver.py).
     """
     dt = opts.np_dtype
     nZ = nUu + nD
@@ -182,11 +192,32 @@ def build_minmax_ipm(fns, nUu, nD, nFu, nFd, nGu, nGd, opts: SolverOptions,
                 )
 
             try:
-                if _t_ineq or _t_cost:
+                # taint ONLY the scales that actually vary at runtime:
+                # with scaleCost == 0 the cost scale is statically one,
+                # and tainting it would spuriously fail every problem
+                # (H always contains the sc-scaled objective Hessian) —
+                # same branching as equilibrium.py's hoist_S_sf
+                if _t_ineq and _t_cost:
                     hoist_H_sf = output_independent_of(
                         _Hof, 6, _z, _nu, _lam,
                         jnp.ones((nFu,), dt), jnp.ones((nFd,), dt),
                         jnp.ones((), dt),
+                    )
+                elif _t_ineq:
+                    hoist_H_sf = output_independent_of(
+                        lambda z, nu, lam, sfu, sfd: _Hof(
+                            z, nu, lam, sfu, sfd, jnp.ones((), dt)
+                        ),
+                        5, _z, _nu, _lam,
+                        jnp.ones((nFu,), dt), jnp.ones((nFd,), dt),
+                    )
+                elif _t_cost:
+                    hoist_H_sf = output_independent_of(
+                        lambda z, nu, lam, sc_: _Hof(
+                            z, nu, lam, jnp.ones((nFu,), dt),
+                            jnp.ones((nFd,), dt), sc_
+                        ),
+                        4, _z, _nu, _lam, jnp.ones((), dt),
                     )
                 else:
                     hoist_H_sf = True
@@ -246,8 +277,47 @@ def build_minmax_ipm(fns, nUu, nD, nFu, nFd, nGu, nGd, opts: SolverOptions,
             except Exception:  # pragma: no cover
                 hoist_Fz = False
 
+    # direct banded assembly (see docstring): every block hoisted, the
+    # Hessian additionally scale-free (it enters the constant band
+    # verbatim); Fuz/Fdz need only z-independence (their scale
+    # dependence is an exact row/column scaling folded in at runtime)
+    band_mode = (
+        band_plan is not None
+        and kkt_solver is not None
+        and nF > 0
+        and hoist_H
+        and hoist_H_sf
+        and hoist_Fz
+        and (nG == 0 or hoist_Gz)
+    )
+    deps_Fz = None
+    if band_mode:
+        from .hoist import param_value_deps as _pvd
+
+        _penv_d2 = {k: jnp.zeros(sh, dt) for k, sh in param_shapes.items()}
+        _z2 = jnp.zeros((nZ,), dt)
+        try:
+            deps_Fz = _pvd(
+                lambda penv, z: (
+                    lambda fs: (
+                        jax.jacfwd(fs[1])(z)
+                        if nFu else jnp.zeros((0, nZ), dt),
+                        jax.jacfwd(fs[2])(z)
+                        if nFd else jnp.zeros((0, nZ), dt),
+                    )
+                )(
+                    scaled_fns(
+                        penv, jnp.ones((nFu,), dt), jnp.ones((nFd,), dt),
+                        jnp.ones((), dt),
+                    )
+                ),
+                _penv_d2, _z2,
+            )
+        except Exception:  # pragma: no cover
+            deps_Fz = None
+
     def assemble_ww(z, nu, lam, mu, addU, addD, addEq, penv, sFu, sFd,
-                    sc, cached=None, pre=None):
+                    sc, cached=None, pre=None, band=False):
         """Saddle KKT matrix + derivatives (no solves).  Exposed as
         ``solve._assemble_ww`` for build-time structure probing
         (kkt/structure.py) — the games' analog of build_ipm's hook."""
@@ -260,6 +330,65 @@ def build_minmax_ipm(fns, nUu, nD, nFu, nFd, nGu, nGd, opts: SolverOptions,
         else:
             grad_z = jax.grad(lagr, argnums=0)(z, nu, lam)
             Fallv_c = Gv_c = None
+
+        if band:
+            # direct banded assembly (see build docstring): permuted
+            # band = const_band * g[c+i] * g[c] + global-diagonal
+            # updates, g = 1 except s on the F rows/cols
+            from ..kkt.band_assemble import BandedOperator, shifted_cols
+            from ..kkt.dense import hdot as _hd
+
+            if Fallv_c is not None:
+                Fuv, Fdv = Fallv_c[:nFu], Fallv_c[nFu:]
+                Gv = Gv_c
+            else:
+                Fuv, Fdv = Fu(z), Fd(z)
+                Gv = Gall(z)
+            lamU, lamD = lam[:nFu], lam[nFu:]
+            d3 = jnp.concatenate([-Fuv / lamU, Fdv / lamD])
+            s_all = jnp.concatenate([sFu, sFd])
+            w_b = band_plan.bandwidth
+            gp = pre["m_notF"] + _hd(pre["SelF"], s_all)
+            gsh = shifted_cols(gp, w_b)
+            lb = pre["band_const_l"] * gsh * gp[:, None]
+            diag_add = (
+                addU * pre["m_u"]
+                - addD * pre["m_d"]
+                - addEq * pre["m_g"]
+                + _hd(pre["SelF"], d3)
+            )
+            lb = lb.at[:, 0].add(diag_add)
+            H_u = pre["H"]
+            Gz_u = pre.get("Gz", jnp.zeros((0, nZ), dt))
+            Fz_all_u = pre["Fz_all_u"]
+            q_sgn = jnp.concatenate([-sFu, sFd])
+
+            def mv(x):
+                xz = x[:nZ]
+                xn = x[nZ : nZ + nG]
+                xf = x[nZ + nG :]
+                r1 = (
+                    _hd(H_u, xz)
+                    + (addU * diagU - addD * diagD) * xz
+                    + _hd(Gz_u.T, xn)
+                    + _hd(Fz_all_u.T, q_sgn * xf)
+                )
+                r2 = _hd(Gz_u, xz) - addEq * xn
+                r3 = q_sgn * _hd(Fz_all_u, xz) + d3 * xf
+                return jnp.concatenate([r1, r2, r3])
+
+            op = BandedOperator(lb, pre["Pm"], mv)
+
+            def fz_mv(x):
+                # UNSIGNED scaled Jacobian [Fuz_s; Fdz_s] @ x (the
+                # fraction-to-boundary / line-search operator)
+                return s_all * _hd(Fz_all_u, x)
+
+            return dict(
+                WW=op, WWUD=None, grad_z=grad_z, Gz=Gz_u, Fuz=None,
+                Fdz=None, Fuv=Fuv, Fdv=Fdv, Gv=Gv, fz_mv=fz_mv,
+            )
+
         H = pre.get("H")
         if H is None:
             H = jax.jacfwd(jax.grad(lagr, argnums=0), argnums=0)(z, nu, lam)
@@ -310,10 +439,15 @@ def build_minmax_ipm(fns, nUu, nD, nFu, nFd, nGu, nGd, opts: SolverOptions,
     def compute_direction(z, nu, lam, mu, addU, addD, addEq, penv, sFu, sFd,
                           sc, need_inertia: bool, cached=None, pre=None):
         a = assemble_ww(z, nu, lam, mu, addU, addD, addEq, penv, sFu, sFd,
-                        sc, cached=cached, pre=pre)
+                        sc, cached=cached, pre=pre, band=band_mode)
         WW, WWUD, grad_z = a["WW"], a["WWUD"], a["grad_z"]
         Gz, Fuz, Fdz = a["Gz"], a["Fuz"], a["Fdz"]
         Fuv, Fdv, Gv = a["Fuv"], a["Fdv"], a["Gv"]
+        # scaled UNSIGNED inequality Jacobian as an operator (band mode
+        # never materializes [Fuz; Fdz])
+        fz_mv = a.get("fz_mv") or (
+            lambda x: jnp.concatenate([Fuz, Fdz], axis=0) @ x
+        )
         lamU, lamD = lam[:nFu], lam[nFu:]
         b = jnp.concatenate(
             [
@@ -325,7 +459,10 @@ def build_minmax_ipm(fns, nUu, nD, nFu, nFd, nGu, nGd, opts: SolverOptions,
         )
         fac = _factor(WW)
         dx = fac.solve(b)
-        derr = _norminf(hdot(WW, dx) - b)
+        if band_mode:
+            derr = _norminf(WW.matvec(dx) - b)
+        else:
+            derr = _norminf(hdot(WW, dx) - b)
         if need_inertia:
             # full-matrix inertia (getHessUinertia__) from the WW factor
             from ..kkt.dense import ldl_inertia
@@ -335,9 +472,16 @@ def build_minmax_ipm(fns, nUu, nD, nFu, nFd, nGu, nGd, opts: SolverOptions,
             # [Lf_dd - addD*I, Gd_d', Fd_d'; Gd_d, -addEq*I, 0;
             #  Fd_d, 0, diag(Fd/lambdaD)] — its LDL d-signs give the
             # per-player inertia check (getHessDinertia__)
-            Hdd = WWUD[nUu:, nUu:]
-            Gdz_d = Gz[nGu:, nUu:]
-            Fdz_d = Fdz[:, nUu:]
+            if band_mode:
+                # rebuilt from the hoisted pieces (band mode materializes
+                # neither WWUD nor the scaled Jacobians)
+                Hdd = pre["H"][nUu:, nUu:] - addD * jnp.eye(nD, dtype=dt)
+                Gdz_d = Gz[nGu:, nUu:]
+                Fdz_d = sFd[:, None] * pre["Fz_all_u"][nFu:, nUu:]
+            else:
+                Hdd = WWUD[nUu:, nUu:]
+                Gdz_d = Gz[nGu:, nUu:]
+                Fdz_d = Fdz[:, nUu:]
             I_Gd = jnp.eye(nGd, dtype=dt)
             hrow1 = jnp.concatenate([Hdd, Gdz_d.T, Fdz_d.T], axis=1)
             hrow2 = jnp.concatenate(
@@ -355,7 +499,7 @@ def build_minmax_ipm(fns, nUu, nD, nFu, nFd, nGu, nGd, opts: SolverOptions,
             mnD = jnp.asarray(mn_desired, dt)
         return (
             dx, derr, mpU, mnD, grad_z,
-            jnp.concatenate([Fuz, Fdz], axis=0),
+            fz_mv(dx[:nZ]),
             jnp.concatenate([Fuv, Fdv]), Gv,
         )
 
@@ -435,13 +579,76 @@ def build_minmax_ipm(fns, nUu, nD, nFu, nFd, nGu, nGd, opts: SolverOptions,
                 jnp.ones((nFd,), dt), jnp.ones((), dt),
             )[4]
             pre["Gz"] = jax.jacfwd(Gall_u)(z_d)
-        if hoist_Fz and nF:
+        if hoist_Fz and nF and not band_mode:
             pre["Fuz"] = (
                 jax.jacfwd(Fu)(z_d) if nFu else jnp.zeros((0, nZ), dt)
             )
             pre["Fdz"] = (
                 jax.jacfwd(Fd)(z_d) if nFd else jnp.zeros((0, nZ), dt)
             )
+
+        if band_mode:
+            # banded-assembly precompute (once per solve): unit-scale
+            # masked F Jacobians (batch-free under shared-parameter
+            # fleets — the runtime scales fold in operator-style), the
+            # permuted constant band of the SIGNED unit saddle matrix
+            # [[H, Gz', Fsgn'], [Gz, 0, 0], [Fsgn, 0, 0]], and the
+            # global-diagonal placement masks
+            from ..kkt.band_assemble import (
+                extract_band_lower,
+                perm_onehot,
+            )
+
+            fns_fz = scaled_fns(
+                _mask_env(deps_Fz), jnp.ones((nFu,), dt),
+                jnp.ones((nFd,), dt), jnp.ones((), dt),
+            )
+            Fu_u, Fd_u = fns_fz[1], fns_fz[2]
+            Fuz_u = (
+                jax.jacfwd(Fu_u)(z_d) if nFu else jnp.zeros((0, nZ), dt)
+            )
+            Fdz_u = (
+                jax.jacfwd(Fd_u)(z_d) if nFd else jnp.zeros((0, nZ), dt)
+            )
+            pre["Fz_all_u"] = jnp.concatenate([Fuz_u, Fdz_u], axis=0)
+            Fsgn_u = jnp.concatenate([-Fuz_u, Fdz_u], axis=0)
+            Gz_u = pre.get("Gz", jnp.zeros((0, nZ), dt))
+
+            perm_np = np.asarray(band_plan.perm)
+            w_b = int(band_plan.bandwidth)
+            Pm = perm_onehot(perm_np, dt)
+            hp_ = jax.lax.Precision.HIGHEST
+            Wconst = jnp.concatenate(
+                [
+                    jnp.concatenate(
+                        [pre["H"], Gz_u.T, Fsgn_u.T], axis=1
+                    ),
+                    jnp.concatenate(
+                        [Gz_u, jnp.zeros((nG, nG + nF), dt)], axis=1
+                    ),
+                    jnp.concatenate(
+                        [Fsgn_u, jnp.zeros((nF, nG + nF), dt)], axis=1
+                    ),
+                ],
+                axis=0,
+            )
+            Wp0 = jnp.matmul(
+                Pm, jnp.matmul(Wconst, Pm.T, precision=hp_), precision=hp_
+            )
+            pre["band_const_l"] = extract_band_lower(Wp0, w_b)
+            pre["m_u"] = jnp.asarray(perm_np < nUu, dt)
+            pre["m_d"] = jnp.asarray(
+                (perm_np >= nUu) & (perm_np < nZ), dt
+            )
+            pre["m_g"] = jnp.asarray(
+                (perm_np >= nZ) & (perm_np < nZ + nG), dt
+            )
+            pre["m_notF"] = jnp.asarray(perm_np < nZ + nG, dt)
+            SelF = np.zeros((nK, nF))
+            fmask = perm_np >= nZ + nG
+            SelF[np.arange(nK)[fmask], perm_np[fmask] - nZ - nG] = 1.0
+            pre["SelF"] = jnp.asarray(SelF, dt)
+            pre["Pm"] = Pm
 
         st0 = MinMaxState(
             z=z0, nu=nu0, lam=lam0, mu=mu0,
@@ -529,7 +736,7 @@ def build_minmax_ipm(fns, nUu, nD, nFu, nFd, nGu, nGd, opts: SolverOptions,
                 )
 
             if not adj:
-                dx, derr, mpU, mnD, grad_z, Fz, Fv, Gv = direction(
+                dx, derr, mpU, mnD, grad_z, FzdZ, Fv, Gv = direction(
                     addU, addD, addEq
                 )
                 addU_next, addD_next, addEq_next = addU, addD, addEq
@@ -614,7 +821,7 @@ def build_minmax_ipm(fns, nUu, nD, nFu, nFd, nGu, nGd, opts: SolverOptions,
                     (jnp.zeros((), jnp.int32), addU, addD, addEq, zeros,
                      jnp.asarray(jnp.inf, dt)),
                 )
-                dx, derr, mpU, mnD, grad_z, Fz, Fv, Gv = res
+                dx, derr, mpU, mnD, grad_z, FzdZ, Fv, Gv = res
                 # delayed decrease once all checks pass (next iteration)
                 good, _, _, _ = flags(res, addU, addD, addEq)
 
@@ -633,8 +840,16 @@ def build_minmax_ipm(fns, nUu, nD, nFu, nFd, nGu, nGd, opts: SolverOptions,
             dNu = dx[nZ : nZ + nG]
             dLam = dx[nZ + nG :]
 
-            def minF_at(alpha):
-                return jnp.min(Fall(z + alpha * dZ)) if nF else jnp.asarray(jnp.inf, dt)
+            if nF and hoist_Fz and opts.linesearch_affine_F:
+                # F affine in z (certified at build): one broadcast, exact
+                def minF_at(alpha):
+                    return jnp.min(Fv + alpha * FzdZ)
+            else:
+                def minF_at(alpha):
+                    return (
+                        jnp.min(Fall(z + alpha * dZ))
+                        if nF else jnp.asarray(jnp.inf, dt)
+                    )
 
             nan_fail = jnp.asarray(False)
             if nF == 0:
@@ -646,7 +861,7 @@ def build_minmax_ipm(fns, nUu, nD, nFu, nFd, nGu, nGd, opts: SolverOptions,
                 new_lam = lam
                 new_mu = mu
             else:
-                maxAlphaP = _clp(Fv, Fz @ dZ)
+                maxAlphaP = _clp(Fv, FzdZ)
                 maxAlphaDI = _clp(lam, dLam)
                 alphaP = maxAlphaP
                 if opts.coupledAlphas:
@@ -761,6 +976,7 @@ def build_minmax_ipm(fns, nUu, nD, nFu, nFd, nGu, nGd, opts: SolverOptions,
         )
 
     solve._assemble_ww = assemble_ww  # exposed for structure probing
+    solve._band_mode = "hoisted" if band_mode else None  # introspection
     return solve
 
 
@@ -882,6 +1098,9 @@ class MinMaxSolver:
                     self._fns, self.nUu, self.nD, self.nFu, self.nFd,
                     self.nGu, self.nGd, self.opts, kkt_solver=kkt_solver,
                     param_shapes=pshapes,
+                    # direct banded assembly needs a FromBand-capable
+                    # backend (the symmetric banded fleet LDL kernel)
+                    band_plan=plan if name == "fleet_banded" else None,
                 )
         self._solve_jit = jax.jit(self._solve_raw)
         self._Solution = Solution

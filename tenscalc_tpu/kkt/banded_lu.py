@@ -515,3 +515,87 @@ class FleetBandedLUFactorization:
 def fleet_banded_lu_kkt_factorize(WW, plan: BandedPlan, n_refine: int = 2,
                                   clamp: float = 1e-4):
     return FleetBandedLUFactorization(WW, plan, n_refine=n_refine, clamp=clamp)
+
+
+class FleetBandedLUFromBand:
+    """Same contract as :class:`FleetBandedLUFactorization` but consumes
+    a directly-assembled permuted band (kkt/band_assemble.BandedOperator
+    with (n, 2w+1) storage [diag, sub 1..w, super 1..w]) — the dense
+    KKT matrix is never formed (the game-solver analog of
+    fleet_banded.FleetBandedFromBand).  The two-sided inf-norm
+    equilibration is computed from the band itself; refinement
+    residuals use the operator's structured matvec."""
+
+    def __init__(self, op, plan: BandedPlan, n_refine: int = 1,
+                 clamp: float = 1e-4):
+        self.op = op
+        self.plan = plan
+        self.n_refine = n_refine
+        n, w = plan.n, plan.bandwidth
+        self.w = w
+        band = op.band.astype(jnp.float32)
+        lband, uband = band[:, : w + 1], band[:, w + 1 :]
+        absl, absu = jnp.abs(lband), jnp.abs(uband)
+        # row/col inf norms straight from band storage:
+        # row r holds lband[r-i, i] (i=0..w) and uband[r, q-1] (q=1..w);
+        # col c holds lband[c, 0..w] and uband[c-q, q-1]
+        rn = absl[:, 0]
+        for i in range(1, w + 1):
+            rn = jnp.maximum(
+                rn,
+                jnp.concatenate(
+                    [jnp.zeros((i,), jnp.float32), absl[: n - i, i]]
+                ),
+            )
+        if w:
+            rn = jnp.maximum(rn, jnp.max(absu, axis=1))
+        cn = jnp.max(absl, axis=1)
+        for q in range(1, w + 1):
+            cn = jnp.maximum(
+                cn,
+                jnp.concatenate(
+                    [jnp.zeros((q,), jnp.float32), absu[: n - q, q - 1]]
+                ),
+            )
+        r = lax.rsqrt(jnp.maximum(rn, 1e-30))
+        cvec = lax.rsqrt(jnp.maximum(cn, 1e-30))
+        self.r = r
+        self.c = cvec
+        r_pad = jnp.concatenate([r, jnp.zeros((w,), jnp.float32)])
+        r_shift = jnp.stack(
+            [lax.dynamic_slice_in_dim(r_pad, i, n) for i in range(w + 1)],
+            axis=1,
+        )
+        c_pad = jnp.concatenate([cvec, jnp.zeros((w,), jnp.float32)])
+        c_shift = jnp.stack(
+            [lax.dynamic_slice_in_dim(c_pad, i, n) for i in range(1, w + 1)],
+            axis=1,
+        )
+        lband = lband * r_shift * cvec[:, None]
+        uband = uband * r[:, None] * c_shift
+        band = jnp.concatenate([lband, uband], axis=1)
+        factor_fn, solve_fn = _wrappers(w, clamp)
+        self.fband = factor_fn(band)
+        self._solve_fn = solve_fn
+        self.P = op.P.astype(jnp.float32)
+
+    def _solve32(self, rhs):
+        hp = jax.lax.Precision.HIGHEST
+        bp = self.r * jnp.matmul(self.P, rhs.astype(jnp.float32),
+                                 precision=hp)
+        xp = self.c * self._solve_fn(self.fband, bp)
+        return jnp.matmul(self.P.T, xp, precision=hp)
+
+    def solve(self, rhs):
+        if rhs.ndim == 2:
+            cols = [self.solve(rhs[:, k]) for k in range(rhs.shape[1])]
+            return jnp.stack(cols, axis=1)
+        dt = rhs.dtype
+        x = self._solve32(rhs).astype(dt)
+        for _ in range(self.n_refine):
+            x = x + self._solve32(rhs - self.op.matvec(x)).astype(dt)
+        return x
+
+    def inertia(self, tol: float = 0.0):
+        z = jnp.zeros((), jnp.result_type(self.op.band))
+        return z, z

@@ -22,7 +22,9 @@ def compute_banded_plan(assemble_trial, nK):
     from .structure import plan_banded, probe_pattern
 
     try:
-        cpus = jax.devices("cpu")
+        # local devices only: under jax.distributed, devices("cpu")[0]
+        # may belong to another process and is not addressable here
+        cpus = jax.local_devices(backend="cpu")
         if cpus:
             with jax.default_device(cpus[0]):
                 pattern = probe_pattern(assemble_trial, nK)
@@ -88,27 +90,36 @@ def select_game_backend(opts, nK, plan_fn, symmetric: bool):
             return _fleet_dense(opts), "fleet", None
         return None, "dense", None
     if fleet:
+        from .band_assemble import BandedOperator
+
         n_ref = opts.refine_for("fleet_banded")
         if symmetric:
-            from .fleet_banded import fleet_banded_kkt_factorize
-
-            return (
-                lambda WW: fleet_banded_kkt_factorize(
-                    WW, plan, n_refine=n_ref
-                ),
-                "fleet_banded",
-                plan,
+            from .fleet_banded import (
+                FleetBandedFromBand,
+                fleet_banded_kkt_factorize,
             )
-        from .banded_lu import fleet_banded_lu_kkt_factorize
+
+            def _kkt_sym(WW, _plan=plan, _n=n_ref):
+                # band mode (fully-hoisted games) hands over the
+                # directly-assembled band; otherwise the dense matrix
+                if isinstance(WW, BandedOperator):
+                    return FleetBandedFromBand(WW, _plan, n_refine=_n)
+                return fleet_banded_kkt_factorize(WW, _plan, n_refine=_n)
+
+            return _kkt_sym, "fleet_banded", plan
+        from .banded_lu import (
+            FleetBandedLUFromBand,
+            fleet_banded_lu_kkt_factorize,
+        )
 
         n_ref_lu = opts.refine_for("fleet_banded_lu")
-        return (
-            lambda WW: fleet_banded_lu_kkt_factorize(
-                WW, plan, n_refine=n_ref_lu
-            ),
-            "fleet_banded_lu",
-            plan,
-        )
+
+        def _kkt_lu(WW, _plan=plan, _n=n_ref_lu):
+            if isinstance(WW, BandedOperator):
+                return FleetBandedLUFromBand(WW, _plan, n_refine=_n)
+            return fleet_banded_lu_kkt_factorize(WW, _plan, n_refine=_n)
+
+        return _kkt_lu, "fleet_banded_lu", plan
     # pure-XLA structured path (CPU / explicit 'tridiag')
     if symmetric:
         from .tridiag import tridiag_factorize

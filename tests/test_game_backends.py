@@ -80,6 +80,8 @@ def test_minmax_backends_agree(monkeypatch):
     assert s_fb.kkt_backend_resolved == "fleet_banded", (
         s_fb.kkt_backend_resolved
     )
+    # fully-hoisted LQ saddle -> direct banded assembly engaged
+    assert s_fb._solve_raw._band_mode == "hoisted"
     sol_f = _minmax_solve(s_fb, "gmf_")
     assert sol_f.status == 0, sol_f.describe()
     np.testing.assert_allclose(
@@ -131,6 +133,8 @@ def test_equilibrium_backends_agree(monkeypatch):
     assert s_f.kkt_backend_resolved == "fleet_banded_lu", (
         s_f.kkt_backend_resolved
     )
+    # fully-hoisted LQ game -> direct banded assembly engaged
+    assert s_f._solve_raw._band_mode == "hoisted"
     assert sol_f.status == 0, sol_f.describe()
     np.testing.assert_allclose(sol_f.objective, sol_d.objective, atol=1e-5)
     np.testing.assert_allclose(
