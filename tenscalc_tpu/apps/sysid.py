@@ -209,10 +209,21 @@ class Sysid:
         x0=None,
         mu0: float = 1.0,
         max_iter: int = 300,
+        restarts: int = 0,
     ):
         """Estimate (theta, x) from data.  ``x0`` defaults to a rough
         trajectory initialization from the measurements when g is the
-        identity-like map, else zeros."""
+        identity-like map, else zeros.
+
+        ``restarts``: the joint (theta, x) estimation problem is
+        bilinear, hence nonconvex — a bad parameter start can land the
+        IPM in a basin where it stalls against a bound (the reference
+        would stall identically: its curvature-driven addEye2Hessian
+        loop, lib/ipmPD_CSsolver.c:458-530, has no global-search
+        escape).  On failure, up to ``restarts`` additional solves run
+        from deterministic pseudo-random parameter starts drawn inside
+        the bounds; the first converged (or else best-objective) result
+        is kept."""
         u_seq = np.asarray(u_seq, float).reshape(self.nU, self.N)
         y_seq = np.asarray(y_seq, float).reshape(self.nY, self.N)
         init = {}
@@ -230,12 +241,33 @@ class Sysid:
             init[f"{self._name}_{spec.name}"] = np.asarray(v, float)
         for nm in self._extra_names:
             init[nm] = np.asarray(1.0)
-        sol = self.solver.solve(
-            {self._uname: u_seq, self._yname: y_seq},
-            init=init,
-            mu0=mu0,
-            max_iter=max_iter,
-        )
+
+        def run(init_):
+            return self.solver.solve(
+                {self._uname: u_seq, self._yname: y_seq},
+                init=init_,
+                mu0=mu0,
+                max_iter=max_iter,
+            )
+
+        sol = run(init)
+        attempt = 0
+        best = sol
+        while sol.status != 0 and attempt < restarts:
+            attempt += 1
+            rs = np.random.default_rng(1234 + attempt)
+            init_r = dict(init)
+            for spec in self.specs:
+                lo = spec.lower if spec.lower is not None else -1.0
+                hi = spec.upper if spec.upper is not None else 1.0
+                init_r[f"{self._name}_{spec.name}"] = rs.uniform(
+                    lo + 0.05 * (hi - lo), hi - 0.05 * (hi - lo),
+                    spec.shape,
+                )
+            sol = run(init_r)
+            if sol.status == 0 or sol.objective < best.objective:
+                best = sol
+        sol = best if sol.status != 0 else sol
         estimates = {spec.name: sol.outputs[spec.name] for spec in self.specs}
         self._last_fit = (u_seq, y_seq, sol)
         return sol, estimates
@@ -316,3 +348,362 @@ class Sysid:
             "logdetH": float(logdetH),
             "H_sign": float(sign),
         }
+
+    # ==================================================================
+    # Post-fit reporting surface (the analog of TCsysid's report /
+    # reportParameters / reportStates / reportOutputs with posterior
+    # standard errors, bound-hit warnings, and plotCost —
+    # /root/reference/lib/@TCsysid/TCsysid.m:858-1034, hitBounds :165-200,
+    # summarizeValues :116-128, plotCost :858-903)
+    # ==================================================================
+
+    def parameter_std(self, sol=None):
+        """Laplace posterior standard errors of the estimated parameters
+        (and states): sqrt(diag(H^{-1})) of the Hessian of the negative
+        log joint at the optimum.
+
+        * Probabilistic models (noise/disturbance variances known or
+          estimated): H is taken over the full (x, theta) pack — the
+          same marginalization Hessian the reference builds for
+          `*_posterioriStd` outputs (createSolver.m:133-167).
+        * Hard equality dynamics: the states are eliminated by rolling
+          the dynamics out from (x_0, theta), and H is the Gauss
+          Hessian of the reduced least-squares cost — the error-std
+          surface of the deterministic fit.
+
+        Returns ``{"theta": {name: std array}, "x": (nX, N) std}``
+        (``x`` only for the probabilistic case).  Standard errors are
+        only meaningful away from active bounds; `report` prints the
+        bound-hit warnings alongside.
+        """
+        import jax
+        import jax.numpy as jnp
+
+        if sol is None:
+            _, _, sol = self._last_fit
+        u_seq, y_seq, _ = self._last_fit
+        nX, N = self.nX, self.N
+        u_j = jnp.asarray(u_seq)
+        y_j = jnp.asarray(y_seq)
+        f_, g_ = self._f, self._g
+        tshapes = [(s.name, s.shape) for s in self.specs]
+        sizes = [int(np.prod(sh, dtype=int)) for _, sh in tshapes]
+
+        def unpack_theta(tz):
+            th, off = {}, 0
+            for (nm, sh), sz in zip(tshapes, sizes):
+                th[nm] = tz[off : off + sz].reshape(sh)
+                off += sz
+            return th
+
+        tstar = jnp.concatenate(
+            [
+                jnp.asarray(
+                    sol.variables[f"{self._name}_{nm}"]
+                ).reshape(-1)
+                for nm, _ in tshapes
+            ]
+        ) if sizes else jnp.zeros((0,))
+        nT = int(sum(sizes))
+
+        if self._probabilistic and self._soft_dynamics:
+            wY, wV = self._inv_variances(sol)
+
+            def nlj(z):
+                xs = z[:nX * N].reshape(nX, N)
+                th = unpack_theta(z[nX * N :])
+                noise = y_j - g_(xs, **th)
+                val = 0.5 * wY * jnp.sum(noise**2)
+                v = xs[:, 1:] - f_(xs[:, :-1], u_j[:, :-1], **th)
+                val += 0.5 * wV * jnp.sum(v**2)
+                for spec in self.specs:
+                    if spec.prior is not None and spec.prior_weight > 0:
+                        val += spec.prior_weight * jnp.sum(
+                            (th[spec.name] - spec.prior) ** 2
+                        )
+                return val
+
+            z0 = jnp.concatenate(
+                [jnp.asarray(sol.variables[self._xname]).ravel(), tstar]
+            )
+            H = jax.hessian(nlj)(z0)
+            Hinv = jnp.linalg.inv(H)
+            dvar = jnp.maximum(jnp.diag(Hinv), 0.0)
+            stds = np.asarray(jnp.sqrt(dvar))
+            x_std = stds[: nX * N].reshape(nX, N)
+            t_std = stds[nX * N :]
+        else:
+            # hard dynamics: reduced rollout from (x_0, theta)
+            wY = (
+                self._inv_variances(sol)[0]
+                if self._probabilistic
+                else 1.0 / self.N  # matches J = ||noise||^2 / N
+            )
+
+            def nlj_red(z):
+                x0 = z[:nX]
+                th = unpack_theta(z[nX:])
+                xs = [x0]
+                for k in range(N - 1):
+                    xs.append(
+                        f_(xs[-1][:, None], u_j[:, k : k + 1], **th)[:, 0]
+                    )
+                xs = jnp.stack(xs, axis=1)
+                noise = y_j - g_(xs, **th)
+                val = 0.5 * wY * jnp.sum(noise**2)
+                for spec in self.specs:
+                    if spec.prior is not None and spec.prior_weight > 0:
+                        val += spec.prior_weight * jnp.sum(
+                            (th[spec.name] - spec.prior) ** 2
+                        )
+                return val
+
+            x0v = jnp.asarray(sol.variables[self._xname])[:, 0]
+            z0 = jnp.concatenate([x0v, tstar])
+            H = jax.hessian(nlj_red)(z0)
+            Hinv = jnp.linalg.inv(H)
+            dvar = jnp.maximum(jnp.diag(Hinv), 0.0)
+            stds = np.asarray(jnp.sqrt(dvar))
+            x_std = None
+            t_std = stds[nX:]
+
+        out = {"theta": {}, "x": x_std}
+        off = 0
+        for (nm, sh), sz in zip(tshapes, sizes):
+            out["theta"][nm] = t_std[off : off + sz].reshape(sh)
+            off += sz
+        return out
+
+    # -- formatting helpers (summarizeValues, TCsysid.m:116-128) --------
+    @staticmethod
+    def _summarize(value) -> str:
+        value = np.asarray(value, float).ravel()
+        if value.size < 3:
+            v = float(value[0]) if value.size else float("nan")
+            return f" {v:10.3f} ({v:10.2e})"
+        mn, mx = float(value.min()), float(value.max())
+        if mn == mx:
+            return f" {mn:10.3f} ({mn:10.2e})"
+        return f"[{mn:10.3f},{mx:10.3f}] ([{mn:10.2e},{mx:10.2e}])"
+
+    @staticmethod
+    def _hit_bounds(value, lower, upper, tol=1e-3) -> str:
+        """Bound-hit warning message (TCsysid.m hitBounds :165-200)."""
+        value = np.asarray(value, float).ravel()
+        msg = ""
+        if np.isfinite(lower):
+            k = (
+                value < tol
+                if lower == 0
+                else value < lower + tol * abs(lower)
+            )
+            if k.any():
+                msg += (
+                    f"hitting lower at {int(k.sum())}/{k.size} points"
+                    if k.size > 1
+                    else "hitting lower"
+                )
+        if np.isfinite(upper):
+            k = (
+                value > -tol
+                if upper == 0
+                else value > upper - tol * abs(upper)
+            )
+            if k.any():
+                msg += (
+                    f"{' ' if msg else ''}hitting upper at "
+                    f"{int(k.sum())}/{k.size} points"
+                    if k.size > 1
+                    else f"{' ' if msg else ''}hitting upper"
+                )
+        return msg
+
+    def _noise_signals(self, sol):
+        """Fitted noise sample paths + their model std (the reference's
+        logPDF table entries)."""
+        u_seq, y_seq, _ = self._last_fit
+        xs = np.asarray(sol.variables[self._xname])
+        theta = {
+            s.name: np.asarray(sol.variables[f"{self._name}_{s.name}"])
+            for s in self.specs
+        }
+        out = {}
+        noise = y_seq - np.asarray(self._g(xs, **theta))
+        if isinstance(self._wY, str):
+            wY = float(np.asarray(sol.variables[self._wY]))
+            sY = 1.0 / np.sqrt(wY)
+        elif self._wY is not None:
+            sY = 1.0 / np.sqrt(float(self._wY))
+        else:
+            sY = float("nan")
+        out["measurementNoise"] = (noise.ravel(), sY)
+        if self._soft_dynamics:
+            v = xs[:, 1:] - np.asarray(
+                self._f(xs[:, :-1], u_seq[:, :-1], **theta)
+            )
+            if isinstance(self._wV, str):
+                sV = 1.0 / np.sqrt(float(np.asarray(sol.variables[self._wV])))
+            else:
+                sV = 1.0 / np.sqrt(float(self._wV))
+            out["disturbance"] = (v.ravel(), sV)
+        return out
+
+    def report_cost(self, sol=None, file=None) -> None:
+        """Solver outcome + per-noise likelihood table
+        (TCsysid.reportCost, TCsysid.m:920-946)."""
+        import sys
+
+        file = file or sys.stdout
+        if sol is None:
+            _, _, sol = self._last_fit
+        if sol.status == 0:
+            print(
+                f"Solver succeeded at iteration {sol.iters:3d} in "
+                f"{1e3 * sol.time:7.3f} ms, cost={sol.objective:.3f}",
+                file=file,
+            )
+        else:
+            print(
+                f"Solver **failed** at iteration {sol.iters:3d} in "
+                f"{1e3 * sol.time:7.3f} ms, status = 0x{sol.status:x}",
+                file=file,
+            )
+        print(f"  Cost = {sol.objective:.3f}:", file=file)
+        for name, (sample, model_std) in self._noise_signals(sol).items():
+            mse = float(np.sqrt(np.mean(sample**2)))
+            print(
+                f"    {name:<25s}: model std = {model_std:8.2e}, "
+                f"sample mse^1/2 = {mse:8.2e}, "
+                f"sample mean = {float(sample.mean()):8.1e}, "
+                f"sample std = {float(sample.std()):8.2e}",
+                file=file,
+            )
+
+    def report_parameters(self, sol=None, std=None, file=None) -> None:
+        """Parameter estimates with posterior stds + bound warnings
+        (TCsysid.reportParameters, TCsysid.m:948-995)."""
+        import sys
+
+        file = file or sys.stdout
+        if sol is None:
+            _, _, sol = self._last_fit
+        print("  Parameter estimates:", file=file)
+        for spec in self.specs:
+            value = np.asarray(sol.outputs[spec.name])
+            line = f"    {spec.name:<25s}:{self._summarize(value)}"
+            if std is not None and spec.name in std["theta"]:
+                line += f" [std = {self._summarize(std['theta'][spec.name])}]"
+            lo = spec.lower if spec.lower is not None else -np.inf
+            hi = spec.upper if spec.upper is not None else np.inf
+            line += f", constrained to [{lo:9.2e},{hi:9.2e}]"
+            warn = self._hit_bounds(value, lo, hi)
+            if warn:
+                line += f" **{warn}**"
+            print(line, file=file)
+        for nm in self._extra_names:
+            value = np.asarray(sol.variables[nm])
+            print(
+                f"    {nm.split('_', 1)[1]:<25s}:{self._summarize(value)}",
+                file=file,
+            )
+
+    def report_states(self, sol=None, std=None, file=None) -> None:
+        """State-trajectory summary + bound warnings
+        (TCsysid.reportStates, TCsysid.m:997-1027)."""
+        import sys
+
+        file = file or sys.stdout
+        if sol is None:
+            _, _, sol = self._last_fit
+        print("  State estimates:", file=file)
+        xs = np.asarray(sol.variables[self._xname])
+        for i in range(self.nX):
+            line = f"    x[{i}]{'':<21s}:{self._summarize(xs[i])}"
+            if std is not None and std.get("x") is not None:
+                line += f" [std = {self._summarize(std['x'][i])}]"
+            print(line, file=file)
+
+    def report_outputs(self, sol=None, file=None) -> None:
+        """Fitted-output summary (TCsysid.reportOutputs,
+        TCsysid.m:1029-1037)."""
+        import sys
+
+        file = file or sys.stdout
+        if sol is None:
+            _, _, sol = self._last_fit
+        print("  Outputs:", file=file)
+        xs = np.asarray(sol.variables[self._xname])
+        theta = {
+            s.name: np.asarray(sol.variables[f"{self._name}_{s.name}"])
+            for s in self.specs
+        }
+        ys = np.asarray(self._g(xs, **theta))
+        for i in range(self.nY):
+            print(
+                f"    y[{i}]{'':<21s}:{self._summarize(ys[i])}",
+                file=file,
+            )
+
+    def report(self, sol=None, std="auto", file=None) -> None:
+        """Full post-fit report (TCsysid.report, TCsysid.m:905-918):
+        cost + likelihoods, parameters with Laplace standard errors and
+        bound-hit warnings, states, outputs.  ``std='auto'`` computes
+        :meth:`parameter_std`; pass None to skip or a precomputed
+        dict to reuse."""
+        if sol is None:
+            _, _, sol = self._last_fit
+        if std == "auto":
+            try:
+                std = self.parameter_std(sol)
+            except Exception:  # singular Hessian etc. — report without
+                std = None
+        self.report_cost(sol, file=file)
+        self.report_parameters(sol, std=std, file=file)
+        self.report_states(sol, std=std, file=file)
+        self.report_outputs(sol, file=file)
+
+    def plot_cost(self, sol=None, width: int = 64, height: int = 8,
+                  file=None) -> None:
+        """Terminal analog of TCsysid.plotCost/inspectNoise
+        (TCsysid.m:858-903): per-noise time-series panel + histogram
+        with mean/std annotations."""
+        import sys
+
+        file = file or sys.stdout
+        if sol is None:
+            _, _, sol = self._last_fit
+        self.report_cost(sol, file=file)
+        for name, (sample, model_std) in self._noise_signals(sol).items():
+            n = len(sample)
+            lo, hi = float(sample.min()), float(sample.max())
+            if hi - lo < 1e-15:
+                hi = lo + 1.0
+            xi = np.linspace(0, n - 1, min(n, width)).round().astype(int)
+            ys = sample[xi]
+            rows = np.clip(
+                ((ys - lo) / (hi - lo) * (height - 1)).round().astype(int),
+                0, height - 1,
+            )
+            print(
+                f"\n{name}  mu={sample.mean():.5f} sigma={sample.std():.5f}"
+                f"  model std={model_std:.2e}",
+                file=file,
+            )
+            grid = [[" "] * len(xi) for _ in range(height)]
+            for c, r in enumerate(rows):
+                grid[height - 1 - r][c] = "*"
+            for r, line in enumerate(grid):
+                edge = (
+                    f"{hi:9.2e}" if r == 0
+                    else (f"{lo:9.2e}" if r == height - 1 else "")
+                )
+                print(f"{edge:>9s} |{''.join(line)}", file=file)
+            print(" " * 10 + "+" + "-" * len(xi), file=file)
+            # horizontal histogram (20 bins, like the reference's
+            # histogram(signal, 20))
+            counts, _ = np.histogram(sample, bins=min(20, height * 2))
+            cmax = max(int(counts.max()), 1)
+            print("  histogram:", file=file)
+            for ci, cnt in enumerate(counts):
+                bar = "#" * int(round(cnt / cmax * (width // 2)))
+                print(f"    {bar}", file=file)

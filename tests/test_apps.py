@@ -383,3 +383,128 @@ def test_sysid_forecast_requires_soft_dynamics():
             name="sysh",
             forecast_instants=[3],
         )
+
+
+# ---------------------------------------------------------------------------
+# Sysid post-fit reporting surface (TCsysid.m:858-1034 report* parity)
+# ---------------------------------------------------------------------------
+
+def _fit_soft_sysid(rng, N=40, a_true=0.8, b_true=0.5, sy=0.05, sv=0.02,
+                    upper_a=1.0, name="sidr"):
+    import tenscalc_tpu as tc
+
+    u_seq = rng.standard_normal((1, N))
+    x_seq = np.zeros((1, N))
+    for k in range(N - 1):
+        x_seq[0, k + 1] = (
+            a_true * x_seq[0, k] + b_true * u_seq[0, k]
+            + sv * rng.standard_normal()
+        )
+    y_seq = x_seq + sy * rng.standard_normal((1, N))
+    sysid = tc.Sysid(
+        f=lambda x, u, a, b: a * x + b * u,
+        g=lambda x, a, b: x,
+        n_states=1, n_outputs=1, n_inputs=1, horizon=N,
+        parameters=[
+            tc.ParameterSpec("a", (), lower=0.0, upper=upper_a),
+            tc.ParameterSpec("b", (), lower=-2.0, upper=2.0),
+        ],
+        name=name,
+        noise_std=sy,
+        disturbance_std=sv,
+    )
+    sol, est = sysid.fit(u_seq, y_seq, x0=y_seq, restarts=2)
+    return sysid, sol, est
+
+
+def test_sysid_parameter_std_calibrated(rng):
+    """The reported Laplace standard error must match the actual
+    estimator dispersion: over M independent data realizations the
+    sample std of a-hat should agree with the mean reported std (the
+    report is 'correct' in the frequentist-calibration sense, not just
+    reproducible)."""
+    import tenscalc_tpu as tc
+
+    M = 14
+    a_hats, stds = [], []
+    for m in range(M):
+        tc.expr.clear_variables()
+        r = np.random.default_rng(100 + m)
+        sysid, sol, est = _fit_soft_sysid(r, name=f"sidc{m}_")
+        assert sol.ok, sol.describe()
+        std = sysid.parameter_std(sol)
+        a_hats.append(float(est["a"]))
+        stds.append(float(std["theta"]["a"]))
+        assert np.isfinite(std["theta"]["b"]).all()
+        assert (std["x"] > 0).all()
+    sample_std = np.std(a_hats, ddof=1)
+    mean_reported = np.mean(stds)
+    # M=14 realizations put ~20% noise on sample_std; a 2x band is a
+    # real calibration check (an unscaled or squared Hessian would miss
+    # it by orders of magnitude)
+    assert 0.5 * mean_reported < sample_std < 2.0 * mean_reported, (
+        sample_std, mean_reported,
+    )
+
+
+def test_sysid_report_text_and_bound_warning(rng, capsys):
+    """report() prints cost/parameters/states/outputs with stds; an
+    active bound produces the reference's hitting-upper warning
+    (TCsysid.m hitBounds :165-200)."""
+    import tenscalc_tpu as tc
+
+    tc.expr.clear_variables()
+    # clamp a's upper bound BELOW the true value -> active bound
+    sysid, sol, est = _fit_soft_sysid(
+        rng, upper_a=0.6, name="sidb_"
+    )
+    assert sol.ok, sol.describe()
+    assert float(est["a"]) == pytest.approx(0.6, abs=1e-3)
+    sysid.report(sol)
+    out = capsys.readouterr().out
+    assert "Parameter estimates" in out
+    assert "State estimates" in out
+    assert "Outputs" in out
+    assert "hitting upper" in out
+    assert "[std =" in out
+    assert "model std" in out
+    # plotCost terminal analog renders panels for both noise signals
+    sysid.plot_cost(sol)
+    out2 = capsys.readouterr().out
+    assert "measurementNoise" in out2
+    assert "disturbance" in out2
+    assert "histogram" in out2
+
+
+def test_sysid_report_hard_dynamics(rng, capsys):
+    """Hard-equality models get error stds from the reduced (x0, theta)
+    rollout Hessian; report() still renders."""
+    import tenscalc_tpu as tc
+
+    tc.expr.clear_variables()
+    N = 40
+    a_true, b_true = 0.8, 0.5
+    u_seq = rng.standard_normal((1, N))
+    x_seq = np.zeros((1, N))
+    for k in range(N - 1):
+        x_seq[0, k + 1] = a_true * x_seq[0, k] + b_true * u_seq[0, k]
+    y_seq = x_seq + 0.001 * rng.standard_normal((1, N))
+    sysid = tc.Sysid(
+        f=lambda x, u, a, b: a * x + b * u,
+        g=lambda x, a, b: x,
+        n_states=1, n_outputs=1, n_inputs=1, horizon=N,
+        parameters=[
+            tc.ParameterSpec("a", (), lower=0.0, upper=1.0),
+            tc.ParameterSpec("b", (), lower=-2.0, upper=2.0),
+        ],
+        name="sidh_",
+    )
+    sol, est = sysid.fit(u_seq, y_seq, x0=y_seq)
+    assert sol.ok
+    std = sysid.parameter_std(sol)
+    assert std["x"] is None
+    assert np.isfinite(std["theta"]["a"]).all()
+    assert (std["theta"]["a"] > 0).all()
+    sysid.report(sol)
+    out = capsys.readouterr().out
+    assert "Parameter estimates" in out
