@@ -371,7 +371,10 @@ class OptimizeSolver:
             # probe on the host CPU backend: it's a one-off eager pass of
             # many small ops — dispatching those to a TPU would be slow
             # and would pollute its compile cache
-            cpus = jax.devices("cpu")
+            # local devices only: under jax.distributed,
+            # devices("cpu")[0] may belong to another process and is
+            # not addressable here
+            cpus = jax.local_devices(backend="cpu")
             if cpus:
                 with jax.default_device(cpus[0]):
                     pattern = probe_pattern(assemble, nK)
