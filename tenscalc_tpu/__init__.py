@@ -43,6 +43,16 @@ from .ops.fns import (
     norminf,
     logdet,
     traceinv,
+    chol,
+    ldl,
+    ldl_l,
+    ldl_d,
+    lu,
+    lu_l,
+    lu_u,
+    lu_d,
+    pptrs,
+    bitrate,
     relu,
     srelu,
     heaviside,
@@ -115,6 +125,16 @@ __all__ = [
     "norm2",
     "norminf",
     "logdet",
+    "chol",
+    "ldl",
+    "ldl_l",
+    "ldl_d",
+    "lu",
+    "lu_l",
+    "lu_u",
+    "lu_d",
+    "pptrs",
+    "bitrate",
     "traceinv",
     "relu",
     "srelu",

@@ -452,3 +452,112 @@ def Hinterpolate(x, Xi, Yi, S=None, method="linear"):
         return jax.jacfwd(jax.jacfwd(lambda q: base(q, _Xi, _Yi, _S)))(_x)
 
     return lift(impl)(x, Xi, Yi, S)
+
+
+# ---------------------------------------------------------------------------
+# user-facing factorization expressions (reference: Tcalculus.m:1373-1696
+# chol/ldl/ldl_l/ldl_d/lu/lu_l/lu_u/lu_d/pptrs).  The reference emits
+# these as symbolic sparse factorization nodes; here each is an ordinary
+# differentiable expression (XLA cholesky / an unpivoted scan
+# elimination matching the reference's no-pivoting symbolic LDL/LU,
+# lib/@csparse/sparsity_ldl.m:161-222, sparsity_lu.m), so they compose
+# inside objectives/constraints and jax AD provides the
+# factorization-aware gradients the reference hand-codes
+# (lib/@Tcalculus/gradient.m:214-264).
+# ---------------------------------------------------------------------------
+
+def _lu_unpivoted_combined(A):
+    """Unpivoted Doolittle elimination -> combined factor matrix C with
+    U on/above the diagonal and the unit-lower multipliers strictly
+    below (exactly the data the reference's symbolic lu node carries).
+    Implemented as a lax.scan over columns so reverse-mode AD works."""
+    n = A.shape[-1]
+    ar = jnp.arange(n)
+
+    def step(M, k):
+        d = M[k, k]
+        l = jnp.where(ar > k, M[:, k] / d, 0.0)
+        row = jnp.where(ar >= k, M[k, :], 0.0)
+        M2 = M - jnp.outer(l, row)
+        # store the multipliers in column k below the diagonal
+        M2 = jnp.where(
+            (ar[:, None] > k) & (ar[None, :] == k), l[:, None], M2
+        )
+        return M2, None
+
+    C, _ = jax.lax.scan(step, A, ar)
+    return C
+
+
+@_lifted
+def chol(A):
+    """Lower Cholesky factor of a symmetric PD matrix
+    (Tcalculus.m:1373-1416; the reference's chol is usable inside
+    objectives, e.g. via pptrs solves or 2*sum(log(diag(chol(A))))."""
+    return jnp.linalg.cholesky(A)
+
+
+@_lifted
+def ldl(A):
+    """Combined LDL^T factor of a symmetric matrix: strictly-lower part
+    holds the unit-lower L, the diagonal holds d (no pivoting, exactly
+    the reference's symbolic ldl semantics — sparsity_ldl.m:161-222).
+    Extract with :func:`ldl_l` / :func:`ldl_d`."""
+    C = _lu_unpivoted_combined(A)
+    return C
+
+
+@_lifted
+def ldl_l(F):
+    """Unit-lower L from a combined :func:`ldl` factor
+    (Tcalculus.m ldl_l)."""
+    n = F.shape[-1]
+    return jnp.tril(F, -1) + jnp.eye(n, dtype=F.dtype)
+
+
+@_lifted
+def ldl_d(F):
+    """Diagonal d from a combined :func:`ldl` factor (Tcalculus.m
+    ldl_d; the reference computes det/logdet as prod/sum over this)."""
+    return jnp.diagonal(F, axis1=-2, axis2=-1)
+
+
+@_lifted
+def lu(A):
+    """Combined unpivoted LU factor (unit-lower multipliers strictly
+    below the diagonal, U on/above — Tcalculus.m lu:1545-1607).
+    Extract with :func:`lu_l` / :func:`lu_u` / :func:`lu_d`."""
+    return _lu_unpivoted_combined(A)
+
+
+@_lifted
+def lu_l(F):
+    """Unit-lower L from a combined :func:`lu` factor."""
+    n = F.shape[-1]
+    return jnp.tril(F, -1) + jnp.eye(n, dtype=F.dtype)
+
+
+@_lifted
+def lu_u(F):
+    """Upper U from a combined :func:`lu` factor."""
+    return jnp.triu(F)
+
+
+@_lifted
+def lu_d(F):
+    """Diagonal of U from a combined :func:`lu` factor (the reference
+    computes det_lu/logdet_lu over this)."""
+    return jnp.diagonal(F, axis1=-2, axis2=-1)
+
+
+@_lifted
+def pptrs(L, b):
+    """Solve A x = b given the Cholesky factor L = chol(A)
+    (Tcalculus.m pptrs:1676-1696, LAPACK-pptrs semantics)."""
+    return jax.scipy.linalg.cho_solve((L, True), b)
+
+
+@_lifted
+def bitrate(snr):
+    """Shannon bitrate log2(1 + snr) (reference lib/bitrate.m:1-19)."""
+    return jnp.log2(1.0 + snr)

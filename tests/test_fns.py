@@ -216,3 +216,75 @@ def test_minmax_all_any_norm_repmat_permute(rng):
     z = rng.standard_normal((2, 3, 4))
     np.testing.assert_allclose(fns.permute(z, [3, 1, 2]), np.transpose(z, (2, 0, 1)))
     np.testing.assert_allclose(fns.permute(z, [2, 0, 1]), np.transpose(z, (2, 0, 1)))
+
+
+# ---------------------------------------------------------------------------
+# user-facing factorization expressions (Tcalculus.m:1373-1696; oracle
+# pattern of examples/testing/testFactorizations.m: L*D*L' == A and
+# L*U == A to ~1e3*eps)
+# ---------------------------------------------------------------------------
+
+def test_factorization_expressions(rng):
+    import jax
+    import jax.numpy as jnp
+    import tenscalc_tpu as tc
+
+    n = 7
+    M = rng.standard_normal((n, n))
+    A_spd = M @ M.T + n * np.eye(n)
+    Asym = 0.5 * (M + M.T) + n * np.eye(n)  # symmetric, not nec. PD ordering
+    Agen = M + n * np.eye(n)                # diagonally dominant general
+
+    Av = tc.parameter("fac_A", (n, n))
+    env_spd = {"fac_A": A_spd}
+    env_sym = {"fac_A": Asym}
+    env_gen = {"fac_A": Agen}
+
+    # chol: L L' == A, and pptrs solves through it
+    L = tc.chol(Av)
+    Lv = np.asarray(L(env_spd))
+    np.testing.assert_allclose(Lv @ Lv.T, A_spd, rtol=0, atol=1e-10)
+    b = rng.standard_normal(n)
+    bv = tc.parameter("fac_b", (n,))
+    x = tc.pptrs(tc.chol(Av), bv)
+    np.testing.assert_allclose(
+        np.asarray(x({**env_spd, "fac_b": b})),
+        np.linalg.solve(A_spd, b), rtol=0, atol=1e-10,
+    )
+
+    # ldl: L D L' == A (symmetric), logdet via sum(log(ldl_d))
+    F = tc.ldl(Av)
+    Lu_ = np.asarray(tc.ldl_l(F)(env_sym))
+    d_ = np.asarray(tc.ldl_d(F)(env_sym))
+    np.testing.assert_allclose(
+        Lu_ @ np.diag(d_) @ Lu_.T, Asym, rtol=0, atol=1e-9
+    )
+    ld = tc.ldl_d(tc.ldl(Av))
+    logdet_ldl = np.sum(np.log(np.asarray(ld(env_spd))))
+    np.testing.assert_allclose(
+        logdet_ldl, np.linalg.slogdet(A_spd)[1], rtol=1e-10
+    )
+
+    # lu: L U == A (general)
+    Fg = tc.lu(Av)
+    Lg = np.asarray(tc.lu_l(Fg)(env_gen))
+    Ug = np.asarray(tc.lu_u(Fg)(env_gen))
+    np.testing.assert_allclose(Lg @ Ug, Agen, rtol=0, atol=1e-9)
+    np.testing.assert_allclose(
+        np.prod(np.asarray(tc.lu_d(Fg)(env_gen))),
+        np.linalg.det(Agen), rtol=1e-8,
+    )
+
+    # differentiable inside an objective: grad of sum(log(ldl_d(A + x I)))
+    # equals trace(inv(A + x I)) — the factorization-aware gradient the
+    # reference hand-codes (gradient.m:214-264)
+    def f(xs):
+        C = jnp.asarray(A_spd) + xs * jnp.eye(n)
+        from tenscalc_tpu.ops.fns import _lu_unpivoted_combined
+
+        return jnp.sum(jnp.log(jnp.diagonal(_lu_unpivoted_combined(C))))
+
+    g = float(jax.grad(f)(0.5))
+    np.testing.assert_allclose(
+        g, np.trace(np.linalg.inv(A_spd + 0.5 * np.eye(n))), rtol=1e-8
+    )
