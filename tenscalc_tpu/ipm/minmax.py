@@ -79,7 +79,8 @@ class MinMaxState(NamedTuple):
 
 
 def build_minmax_ipm(fns, nUu, nD, nFu, nFd, nGu, nGd, opts: SolverOptions,
-                     kkt_solver=None, param_shapes=None, band_plan=None):
+                     kkt_solver=None, param_shapes=None, band_plan=None,
+                     hessd_plan=None):
     """fns: namedtuple-ish with f(z,penv), Fu, Fd, Gu, Gd all (z,penv)->vec.
 
     ``kkt_solver`` optionally replaces the dense factorization of the
@@ -426,6 +427,47 @@ def build_minmax_ipm(fns, nUu, nD, nFu, nFd, nGu, nGd, opts: SolverOptions,
             Fuv=Fuv, Fdv=Fdv, Gv=Gv,
         )
 
+    def assemble_hessd(z, nu, lam, addD, addEq, penv, sFu, sFd, sc,
+                       pre=None):
+        """Dense maximizer sub-system HessD (ipmPDminmax_CS.m:246-259):
+        [Lf_dd - addD I, Gd_d', Fd_d'; Gd_d, -addEq I, 0;
+         Fd_d, 0, diag(Fd/lamD)].  Used by the dense inertia path and
+        by the build-time structure probe (solve._assemble_hessd)."""
+        pre = pre or {}
+        f, Fu, Fd, Fall, Gall, lagr = scaled_fns(penv, sFu, sFd, sc)
+        H = pre.get("H")
+        if H is None:
+            H = jax.jacfwd(jax.grad(lagr, argnums=0), argnums=0)(
+                z, nu, lam
+            )
+            H = 0.5 * (H + H.T)
+        Gz = pre.get("Gz")
+        if Gz is None:
+            Gz = jax.jacfwd(Gall)(z) if nG else jnp.zeros((0, nZ), dt)
+        Fdz = pre.get("Fdz")
+        if Fdz is None:
+            if "Fz_all_u" in pre:
+                Fdz = sFd[:, None] * pre["Fz_all_u"][nFu:]
+            else:
+                Fdz = (
+                    jax.jacfwd(Fd)(z) if nFd else jnp.zeros((0, nZ), dt)
+                )
+        Fdv = Fd(z)
+        lamD = lam[nFu:]
+        Hdd = H[nUu:, nUu:] - addD * jnp.eye(nD, dtype=dt)
+        Gdz_d = Gz[nGu:, nUu:]
+        Fdz_d = Fdz[:, nUu:]
+        I_Gd = jnp.eye(nGd, dtype=dt)
+        hrow1 = jnp.concatenate([Hdd, Gdz_d.T, Fdz_d.T], axis=1)
+        hrow2 = jnp.concatenate(
+            [Gdz_d, -addEq * I_Gd, jnp.zeros((nGd, nFd), dt)], axis=1
+        )
+        hrow3 = jnp.concatenate(
+            [Fdz_d, jnp.zeros((nFd, nGd), dt), jnp.diag(Fdv / lamD)],
+            axis=1,
+        )
+        return jnp.concatenate([hrow1, hrow2, hrow3], axis=0)
+
     def _factor(WW):
         if kkt_solver is not None:
             return kkt_solver(WW)
@@ -468,32 +510,70 @@ def build_minmax_ipm(fns, nUu, nD, nFu, nFd, nGu, nGd, opts: SolverOptions,
             from ..kkt.dense import ldl_inertia
 
             mpU, _ = fac.inertia()
-            # maximizer sub-system HessD (ipmPDminmax_CS.m:246-259):
-            # [Lf_dd - addD*I, Gd_d', Fd_d'; Gd_d, -addEq*I, 0;
-            #  Fd_d, 0, diag(Fd/lambdaD)] — its LDL d-signs give the
-            # per-player inertia check (getHessDinertia__)
-            if band_mode:
-                # rebuilt from the hoisted pieces (band mode materializes
-                # neither WWUD nor the scaled Jacobians)
-                Hdd = pre["H"][nUu:, nUu:] - addD * jnp.eye(nD, dtype=dt)
-                Gdz_d = Gz[nGu:, nUu:]
-                Fdz_d = sFd[:, None] * pre["Fz_all_u"][nFu:, nUu:]
+            # maximizer sub-system HessD inertia (getHessDinertia__,
+            # ipmPDminmax_CS.m:246-259)
+            if band_mode and "hd_const_l" in pre:
+                # banded HessD: the dense blocked LDL of the (B, m, m)
+                # sub-system was ~92% of the minmax fleet iteration
+                # (round-5 TPU ablation: 1.8k -> 22.7k solves/s with
+                # inertia off); the sub-system is banded exactly like
+                # the full saddle KKT, so its D-signs come from the
+                # same batch-in-lanes fleet kernel
+                from ..kkt.band_assemble import (
+                    BandedOperator,
+                    shifted_cols,
+                )
+                from ..kkt.dense import hdot as _hd
+                from ..kkt.fleet_banded import FleetBandedFromBand
+
+                wD = hessd_plan.bandwidth
+                gD = pre["hd_m_notF"] + _hd(pre["hd_SelF"], sFd)
+                gshD = shifted_cols(gD, wD)
+                lbD = pre["hd_const_l"] * gshD * gD[:, None]
+                diag_add = (
+                    -addD * pre["hd_m_d"]
+                    - addEq * pre["hd_m_g"]
+                    + _hd(pre["hd_SelF"], Fdv / lamD)
+                )
+                lbD = lbD.at[:, 0].add(diag_add)
+
+                def _no_mv(x):  # pragma: no cover - inertia only
+                    raise NotImplementedError
+
+                opD = BandedOperator(lbD, pre["hd_Pm"], _no_mv)
+                facD = FleetBandedFromBand(opD, hessd_plan, n_refine=0)
+                _, mnD = facD.inertia()
             else:
-                Hdd = WWUD[nUu:, nUu:]
-                Gdz_d = Gz[nGu:, nUu:]
-                Fdz_d = Fdz[:, nUu:]
-            I_Gd = jnp.eye(nGd, dtype=dt)
-            hrow1 = jnp.concatenate([Hdd, Gdz_d.T, Fdz_d.T], axis=1)
-            hrow2 = jnp.concatenate(
-                [Gdz_d, -addEq * I_Gd, jnp.zeros((nGd, nFd), dt)], axis=1
-            )
-            hrow3 = jnp.concatenate(
-                [Fdz_d, jnp.zeros((nFd, nGd), dt), jnp.diag(Fdv / lamD)],
-                axis=1,
-            )
-            HessD = jnp.concatenate([hrow1, hrow2, hrow3], axis=0)
-            _, dD = ldl_factor(HessD, block=opts.ldl_block)
-            _, mnD = ldl_inertia(dD)
+                if band_mode:
+                    # rebuilt from the hoisted pieces (band mode
+                    # materializes neither WWUD nor scaled Jacobians)
+                    HessD = assemble_hessd(
+                        z, nu, lam, addD, addEq, penv, sFu, sFd, sc,
+                        pre=pre,
+                    )
+                else:
+                    Hdd = WWUD[nUu:, nUu:]
+                    Gdz_d = Gz[nGu:, nUu:]
+                    Fdz_d = Fdz[:, nUu:]
+                    I_Gd = jnp.eye(nGd, dtype=dt)
+                    hrow1 = jnp.concatenate(
+                        [Hdd, Gdz_d.T, Fdz_d.T], axis=1
+                    )
+                    hrow2 = jnp.concatenate(
+                        [Gdz_d, -addEq * I_Gd, jnp.zeros((nGd, nFd), dt)],
+                        axis=1,
+                    )
+                    hrow3 = jnp.concatenate(
+                        [
+                            Fdz_d,
+                            jnp.zeros((nFd, nGd), dt),
+                            jnp.diag(Fdv / lamD),
+                        ],
+                        axis=1,
+                    )
+                    HessD = jnp.concatenate([hrow1, hrow2, hrow3], axis=0)
+                _, dD = ldl_factor(HessD, block=opts.ldl_block)
+                _, mnD = ldl_inertia(dD)
         else:
             mpU = jnp.asarray(mp_desired, dt)
             mnD = jnp.asarray(mn_desired, dt)
@@ -649,6 +729,51 @@ def build_minmax_ipm(fns, nUu, nD, nFu, nFd, nGu, nGd, opts: SolverOptions,
             SelF[np.arange(nK)[fmask], perm_np[fmask] - nZ - nG] = 1.0
             pre["SelF"] = jnp.asarray(SelF, dt)
             pre["Pm"] = Pm
+
+            if hessd_plan is not None and hessd_plan.worthwhile:
+                # banded HessD inertia precompute: constant band of the
+                # unit-scale maximizer sub-system
+                # [[Hdd, Gd_d', Fd_d'], [Gd_d, 0, 0], [Fd_d, 0, 0]]
+                # plus the diagonal/scale placement masks (same device
+                # as the main saddle band; m = nD + nGd + nFd)
+                mD = nD + nGd + nFd
+                Hdd_u = pre["H"][nUu:, nUu:]
+                Gdz_u = Gz_u[nGu:, nUu:]
+                Fdz_u_d = pre["Fz_all_u"][nFu:, nUu:]
+                permD = np.asarray(hessd_plan.perm)
+                wD = int(hessd_plan.bandwidth)
+                PmD = perm_onehot(permD, dt)
+                WconstD = jnp.concatenate(
+                    [
+                        jnp.concatenate(
+                            [Hdd_u, Gdz_u.T, Fdz_u_d.T], axis=1
+                        ),
+                        jnp.concatenate(
+                            [Gdz_u, jnp.zeros((nGd, nGd + nFd), dt)],
+                            axis=1,
+                        ),
+                        jnp.concatenate(
+                            [Fdz_u_d, jnp.zeros((nFd, nGd + nFd), dt)],
+                            axis=1,
+                        ),
+                    ],
+                    axis=0,
+                )
+                WpD = jnp.matmul(
+                    PmD, jnp.matmul(WconstD, PmD.T, precision=hp_),
+                    precision=hp_,
+                )
+                pre["hd_const_l"] = extract_band_lower(WpD, wD)
+                pre["hd_m_d"] = jnp.asarray(permD < nD, dt)
+                pre["hd_m_g"] = jnp.asarray(
+                    (permD >= nD) & (permD < nD + nGd), dt
+                )
+                pre["hd_m_notF"] = jnp.asarray(permD < nD + nGd, dt)
+                SelFD = np.zeros((mD, nFd))
+                fmD = permD >= nD + nGd
+                SelFD[np.arange(mD)[fmD], permD[fmD] - nD - nGd] = 1.0
+                pre["hd_SelF"] = jnp.asarray(SelFD, dt)
+                pre["hd_Pm"] = PmD
 
         st0 = MinMaxState(
             z=z0, nu=nu0, lam=lam0, mu=mu0,
@@ -976,7 +1101,11 @@ def build_minmax_ipm(fns, nUu, nD, nFu, nFd, nGu, nGd, opts: SolverOptions,
         )
 
     solve._assemble_ww = assemble_ww  # exposed for structure probing
+    solve._assemble_hessd = assemble_hessd  # HessD structure probing
     solve._band_mode = "hoisted" if band_mode else None  # introspection
+    solve._hessd_banded = bool(
+        band_mode and hessd_plan is not None and hessd_plan.worthwhile
+    )
     return solve
 
 
@@ -1094,6 +1223,21 @@ class MinMaxSolver:
             if kkt_solver is not None:
                 self.kkt_plan = plan
                 self.kkt_backend_resolved = name
+                hessd_plan = None
+                if (
+                    name == "fleet_banded"
+                    and self.opts.addEye2Hessian
+                    and self.opts.adjustAddEye2Hessian
+                    and self.nD + self.nGd + self.nFd >= 32
+                ):
+                    # the HessD inertia sub-factorization gets its own
+                    # banded plan (round-5 TPU ablation: the dense
+                    # blocked LDL of HessD was ~92% of the fleet
+                    # iteration)
+                    hessd_plan = compute_banded_plan(
+                        self._probe_hessd,
+                        self.nD + self.nGd + self.nFd,
+                    )
                 self._solve_raw = build_minmax_ipm(
                     self._fns, self.nUu, self.nD, self.nFu, self.nFd,
                     self.nGu, self.nGd, self.opts, kkt_solver=kkt_solver,
@@ -1101,6 +1245,7 @@ class MinMaxSolver:
                     # direct banded assembly needs a FromBand-capable
                     # backend (the symmetric banded fleet LDL kernel)
                     band_plan=plan if name == "fleet_banded" else None,
+                    hessd_plan=hessd_plan,
                 )
         self._solve_jit = jax.jit(self._solve_raw)
         self._Solution = Solution
@@ -1129,6 +1274,28 @@ class MinMaxSolver:
             jnp.ones((), dt),
         )
         return a["WW"]
+
+    def _probe_hessd(self, trial: int):
+        """Random-iterate HessD assembly for the sub-system structure
+        probe (same pattern as _probe_assemble)."""
+        dt = self.opts.np_dtype
+        rng = np.random.default_rng(1000 + trial)
+        nZ = self.nUu + self.nD
+        nF = self.nFu + self.nFd
+        nG = self.nGu + self.nGd
+        penv = {
+            p.name: jnp.asarray(rng.standard_normal(p.shape), dt)
+            for p in self.parameters
+        }
+        z = jnp.asarray(rng.standard_normal(nZ), dt)
+        lam = jnp.asarray(rng.uniform(0.5, 1.5, nF), dt)
+        nu = jnp.asarray(rng.standard_normal(nG), dt)
+        return self._solve_raw._assemble_hessd(
+            z, nu, lam, jnp.asarray(1e-3, dt), jnp.asarray(1e-3, dt),
+            penv,
+            jnp.ones((self.nFu,), dt), jnp.ones((self.nFd,), dt),
+            jnp.ones((), dt),
+        )
 
     def _param_env(self, parameters):
         parameters = dict(parameters or {})
