@@ -688,8 +688,23 @@ def bench_nonlinear_fleet(B=512, T=40):
     dparams = {k: jnp.asarray(np.asarray(v), jnp.float32)
                for k, v in params.items()}
     shared = _shared_names(solver, dparams)
-    init_x = np.repeat(xinit, T, axis=2) + 0.01 * rng.random((B, 5, T))
-    init_u = 0.01 * rng.random((B, 1, T - 1))
+    # init: u = 0 plant rollout — satisfies the trapezoidal dynamics
+    # EXACTLY (theta constant), the warm-startable state every receding-
+    # horizon deployment has.  A naive tiled-xinit init leaves ~4% of
+    # random instances unconverged at 200 lockstep iterations.
+    Ts = float(base[ns + "Ts"])
+    vconst = float(base[ns + "v"])
+    init_x = np.zeros((B, 5, T))
+    init_x[:, :, 0] = xinit[:, :, 0]
+    th = xinit[:, 2, 0]
+    for k in range(1, T):
+        init_x[:, 0, k] = init_x[:, 0, k - 1] + Ts * vconst * np.cos(th)
+        init_x[:, 1, k] = init_x[:, 1, k - 1] + Ts * vconst * np.sin(th)
+        init_x[:, 2, k] = th
+        init_x[:, 3:5, k] = (
+            init_x[:, 3:5, k - 1] + Ts * params[ns + "d"][:, :, 0]
+        )
+    init_u = np.zeros((B, 1, T - 1))
     env = {
         ns + "x": jnp.asarray(init_x, jnp.float32).reshape(B, -1),
         ns + "u": jnp.asarray(init_u, jnp.float32).reshape(B, -1),

@@ -483,17 +483,16 @@ def build_ipm(
                 bandv = pre["band_const"] + jnp.stack(cols, axis=1)
             else:
                 # per-iteration (nonlinear): extract the band of
-                # P [[H, Gu'], [Gu, 0]] P^T from the CURRENT H/Fu/Gu
-                # with ONE row-permuting matmul + per-diagonal masked
-                # row-sums — band[c, i] = W[perm[c+i], perm[c]] =
-                # sum_j (P W)[c+i, j] P[c, j]; the dense KKT is never
-                # concatenated, permuted two-sided, or re-extracted
+                # P [[H, Gu'], [Gu, 0]] P^T from the CURRENT H/Gu via
+                # one-hot MXU permutation + strided jnp.diagonal views.
+                # (A shifted-slice row-sum variant materialized w+1 full
+                # (B, nK, nK) copies per iteration — ~750 ms/call at
+                # B=512/nK=439 in the round-5 trace; diagonal extraction
+                # is a layout-free strided read.)
                 w_band = int(band_plan.bandwidth)
                 Pm_ = pre["Pm"]
                 hp_ = jax.lax.Precision.HIGHEST
                 nK_ = nU + nG
-                # (P W)[a] = W[perm[a]]: permute rows of the two block
-                # columns separately (W's column order is untouched)
                 Wc = jnp.concatenate(
                     [
                         jnp.concatenate([H, Gu.T], axis=1),
@@ -503,16 +502,16 @@ def build_ipm(
                     ],
                     axis=0,
                 )
-                Wrows = jnp.matmul(Pm_, Wc, precision=hp_)
+                Wp_ = jnp.matmul(
+                    Pm_, jnp.matmul(Wc, Pm_.T, precision=hp_),
+                    precision=hp_,
+                )
                 cols = []
                 for i in range(w_band + 1):
-                    Wi = (
-                        jnp.concatenate(
-                            [Wrows[i:], jnp.zeros((i, nK_), dt)], axis=0
-                        )
-                        if i else Wrows
-                    )
-                    cols.append(jnp.sum(Wi * Pm_, axis=-1))
+                    d0 = jnp.diagonal(Wp_, offset=-i)
+                    if i:
+                        d0 = jnp.concatenate([d0, jnp.zeros((i,), dt)])
+                    cols.append(d0)
                 bandv = jnp.stack(cols, axis=1)
                 # barrier band via per-diagonal pair products of the
                 # permuted UNSCALED Jacobian (computed per iteration)
