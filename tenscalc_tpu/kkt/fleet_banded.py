@@ -194,6 +194,108 @@ def _solve_kernel(nb8: int, npad: int, w: int, wpad: int, tile: int,
     cp_x.wait()
 
 
+def _factor_solve_kernel(nb8: int, npad: int, w: int, wpad: int, tile: int,
+                         clamp: float, band_hbm, b_hbm, fband_hbm, x_hbm,
+                         Bv, xv, sem):
+    """Fused banded LDL factor + ONE solve in a single launch: the
+    factor leaves the band in VMEM, so the first substitution pair
+    reads it without an HBM round trip (one kernel launch fewer per
+    IPM iteration; the factored band is still written out for the
+    later combined/refinement solves)."""
+    i = jnp.int32(pl.program_id(0))
+    cp_in = pltpu.make_async_copy(
+        band_hbm.at[:, :, pl.ds(i * tile, tile)], Bv, sem
+    )
+    cp_in.start()
+    cp_in.wait()
+    cp_b = pltpu.make_async_copy(b_hbm.at[:, pl.ds(i * tile, tile)], xv, sem)
+    cp_b.start()
+    cp_b.wait()
+    win = _win(w)
+
+    def _splice(V, j, new_row):
+        parts = []
+        if j > 0:
+            parts.append(V[:j])
+        parts.append(new_row)
+        if j + 1 < win:
+            parts.append(V[j + 1 :])
+        return jnp.concatenate(parts, axis=0)
+
+    # ---- factor (identical elimination to _factor_kernel) ----
+    def block(kb, _):
+        r0 = kb * 8
+        W = Bv[pl.ds(r0, win), :, :]
+        for j in range(8):
+            row = W[j : j + 1]
+            dj = row[:, 0:1, :]
+            if clamp > 0.0:
+                sgn = jnp.where(dj >= 0.0, jnp.ones_like(dj), -jnp.ones_like(dj))
+                dj = sgn * jnp.maximum(jnp.abs(dj), clamp)
+            r = jnp.concatenate(
+                [jnp.zeros((1, 1, tile), jnp.float32), row[:, 1:, :] / dj],
+                axis=1,
+            )
+            W = _splice(W, j, jnp.concatenate([dj, r[:, 1:, :]], axis=1))
+            for i_ in range(1, w + 1):
+                ri = r[:, i_ : i_ + 1, :]
+                shifted = jnp.concatenate(
+                    [r[:, i_:, :], jnp.zeros((1, i_, tile), jnp.float32)],
+                    axis=1,
+                )
+                t = j + i_
+                W = _splice(W, t, W[t : t + 1] - dj * ri * shifted)
+        Bv[pl.ds(r0, win), :, :] = W
+        return jnp.int32(0)
+
+    lax.fori_loop(jnp.int32(0), jnp.int32(nb8), block, jnp.int32(0), unroll=False)
+    cp_out = pltpu.make_async_copy(
+        Bv, fband_hbm.at[:, :, pl.ds(i * tile, tile)], sem
+    )
+    cp_out.start()
+
+    # ---- solve with the VMEM-resident factor ----
+    def fwd(kb, _):
+        r0 = kb * 8
+        X = xv[pl.ds(r0, win), :]
+        B8 = Bv[pl.ds(r0, 8), :, :]
+        for j in range(8):
+            yc = X[j : j + 1]
+            Lcol = B8[j, 1 : w + 1, :]
+            X = jnp.concatenate(
+                [
+                    X[: j + 1],
+                    X[j + 1 : j + 1 + w] - Lcol * yc,
+                    X[j + 1 + w :],
+                ],
+                axis=0,
+            )
+        xv[pl.ds(r0, win), :] = X
+        return jnp.int32(0)
+
+    lax.fori_loop(jnp.int32(0), jnp.int32(nb8), fwd, jnp.int32(0), unroll=False)
+    xv[:, :] = xv[:, :] / Bv[:, 0, :]
+
+    def bwd(s_, _):
+        kb = nb8 - 1 - s_
+        r0 = kb * 8
+        X = xv[pl.ds(r0, win), :]
+        B8 = Bv[pl.ds(r0, 8), :, :]
+        for j in range(7, -1, -1):
+            Lcol = B8[j, 1 : w + 1, :]
+            acc = jnp.sum(Lcol * X[j + 1 : j + 1 + w], axis=0, keepdims=True)
+            parts = ([X[:j]] if j > 0 else []) + [X[j : j + 1] - acc, X[j + 1 :]]
+            X = jnp.concatenate(parts, axis=0)
+        xv[pl.ds(r0, 8), :] = X[:8]
+        return jnp.int32(0)
+
+    lax.fori_loop(jnp.int32(0), jnp.int32(nb8), bwd, jnp.int32(0), unroll=False)
+    cp_out.wait()
+    cp_x = pltpu.make_async_copy(xv, x_hbm.at[:, pl.ds(i * tile, tile)], sem)
+    cp_x.start()
+    cp_x.wait()
+
+
 # ---------------------------------------------------------------------------
 # batched entry points: band (B, n, w+1), vectors (B, n)
 # ---------------------------------------------------------------------------
@@ -234,6 +336,55 @@ def fleet_banded_factor_batched(band: jax.Array, w: int, clamp: float = 0.0):
         interpret=_interpret(),
     )(bl)
     return jnp.transpose(out, (2, 0, 1))[:B, :n, : w + 1]
+
+
+@functools.partial(jax.jit, static_argnames=("w", "clamp"))
+def fleet_banded_factor_solve_batched(band: jax.Array, b: jax.Array,
+                                      w: int, clamp: float = 0.0):
+    """Fused factor + one solve: band (B, n, w+1), b (B, n) ->
+    (factored band, x) in ONE kernel launch."""
+    B, n = b.shape
+    npad = _pad_rows(n, w)
+    wpad = _pad_w(w)
+    tile = TILE
+    Bpad = -(-B // tile) * tile
+    bp = jnp.zeros((Bpad, npad, wpad), jnp.float32)
+    bp = bp.at[:, :, 0].set(1.0)
+    bp = bp.at[:B, :n, : w + 1].set(band.astype(jnp.float32))
+    bpv = jnp.zeros((Bpad, npad), jnp.float32).at[:B, :n].set(
+        b.astype(jnp.float32)
+    )
+    bl = jnp.transpose(bp, (1, 2, 0))
+    rl = jnp.transpose(bpv, (1, 0))
+
+    fband, x = pl.pallas_call(
+        functools.partial(
+            _factor_solve_kernel, -(-n // 8), npad, w, wpad, tile, clamp
+        ),
+        grid=(Bpad // tile,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((npad, wpad, Bpad), jnp.float32),
+            jax.ShapeDtypeStruct((npad, Bpad), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((npad, wpad, tile), jnp.float32),
+            pltpu.VMEM((npad, tile), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=_interpret(),
+    )(bl, rl)
+    return (
+        jnp.transpose(fband, (2, 0, 1))[:B, :n, : w + 1],
+        jnp.transpose(x, (1, 0))[:B, :n],
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("w",))
@@ -279,6 +430,29 @@ def fleet_banded_solve_batched(fband: jax.Array, b: jax.Array, w: int):
 # custom_vmap wrappers: per-instance API, fleet execution under vmap
 # ---------------------------------------------------------------------------
 
+def _sym_equilibration(band: jax.Array, n: int, w: int) -> jax.Array:
+    """Symmetric row-inf-norm equilibration scale s = rsqrt(max_j |W_rj|)
+    from lower-band storage (row r holds band[r, :] and band[r-i, i]).
+
+    The earlier diagonal-based Jacobi scale rsqrt(|W_rr|) is equivalent
+    on barrier-dominated convex KKTs (row max ~ diagonal) but explodes
+    on INDEFINITE rows whose diagonal is incidentally tiny next to O(1)
+    off-diagonals — round-5 finding: nonconvex unicycle fleet instances
+    that the f32 dense (pivoted) backend solves in ~100 iterations
+    stalled at addEye2Hessian ceiling under the unpivoted kernel; the
+    row-norm scale restores the dense iteration counts exactly."""
+    absb = jnp.abs(band)
+    rn = jnp.max(absb, axis=1)
+    for i in range(1, w + 1):
+        rn = jnp.maximum(
+            rn,
+            jnp.concatenate(
+                [jnp.zeros((i,), jnp.float32), absb[: n - i, i]]
+            ),
+        )
+    return lax.rsqrt(jnp.maximum(rn, 1e-30))
+
+
 def _make_wrappers(w: int, clamp: float):
     @jax.custom_batching.custom_vmap
     def factor(band):
@@ -302,7 +476,23 @@ def _make_wrappers(w: int, clamp: float):
             b = jnp.broadcast_to(b, (axis_size,) + b.shape)
         return fleet_banded_solve_batched(fband, b, w), True
 
-    return factor, solve
+    @jax.custom_batching.custom_vmap
+    def factor_solve(band, b):
+        fb, x = fleet_banded_factor_solve_batched(
+            band[None], b[None], w, clamp=clamp
+        )
+        return fb[0], x[0]
+
+    @factor_solve.def_vmap
+    def _factor_solve_vmap(axis_size, in_batched, band, b):
+        bb, rb = in_batched
+        assert bb, "fleet_banded factor_solve: band must be batched"
+        if not rb:
+            b = jnp.broadcast_to(b, (axis_size,) + b.shape)
+        fb, x = fleet_banded_factor_solve_batched(band, b, w, clamp=clamp)
+        return (fb, x), (True, True)
+
+    return factor, solve, factor_solve
 
 
 _WRAPPERS: dict = {}
@@ -373,9 +563,7 @@ class FleetBandedFactorization:
                 [d, jnp.zeros((i,), jnp.float32)]
             ) if i else d)
         band = jnp.stack(cols, axis=1)               # (n, w+1)
-        # Jacobi equilibration on the permuted diagonal
-        diag = band[:, 0]
-        s = lax.rsqrt(jnp.maximum(jnp.abs(diag), 1e-30))
+        s = _sym_equilibration(band, n, w)
         self.s = s
         # s_shift[c, i] = s[c+i] via w+1 static slices of padded s
         s_pad = jnp.concatenate([s, jnp.zeros((w,), jnp.float32)])
@@ -385,9 +573,12 @@ class FleetBandedFactorization:
         )
         # band_scaled[c, i] = s[c+i] * Wp[c+i, c] * s[c]
         band = band * s[:, None] * s_shift
-        factor_fn, solve_fn = _wrappers(w, clamp)
-        self.fband = factor_fn(band)
-        self._solve_fn = solve_fn
+        self._band_scaled = band
+        self._factor_fn, self._solve_fn, self._fs_fn = _wrappers(w, clamp)
+        # LAZY factor: the first solve runs the fused factor+solve
+        # kernel (one launch fewer per IPM iteration, and the first
+        # substitution pair reads the factor from VMEM)
+        self.fband = None
         self.P = P
 
     def _solve32(self, rhs):
@@ -398,7 +589,11 @@ class FleetBandedFactorization:
         hp = jax.lax.Precision.HIGHEST
         bp = self.s * jnp.matmul(self.P, rhs.astype(jnp.float32),
                                  precision=hp)
-        xp = self.s * self._solve_fn(self.fband, bp)
+        if self.fband is None:
+            self.fband, xp = self._fs_fn(self._band_scaled, bp)
+        else:
+            xp = self._solve_fn(self.fband, bp)
+        xp = self.s * xp
         return jnp.matmul(self.P.T, xp, precision=hp)
 
     def solve(self, rhs):
@@ -412,6 +607,8 @@ class FleetBandedFactorization:
         return x
 
     def inertia(self, tol: float = 0.0):
+        if self.fband is None:
+            self.fband = self._factor_fn(self._band_scaled)
         rt = jnp.result_type(self.WW)
         d = self.fband[:, 0]
         mp = jnp.sum(d > tol).astype(rt)
@@ -438,8 +635,7 @@ class FleetBandedFromBand:
         n, w = plan.n, plan.bandwidth
         self.w = w
         band = op.band.astype(jnp.float32)
-        diag = band[:, 0]
-        s = lax.rsqrt(jnp.maximum(jnp.abs(diag), 1e-30))
+        s = _sym_equilibration(band, n, w)
         self.s = s
         s_pad = jnp.concatenate([s, jnp.zeros((w,), jnp.float32)])
         s_shift = jnp.stack(
@@ -447,16 +643,20 @@ class FleetBandedFromBand:
             axis=1,
         )
         band = band * s[:, None] * s_shift
-        factor_fn, solve_fn = _wrappers(w, clamp)
-        self.fband = factor_fn(band)
-        self._solve_fn = solve_fn
+        self._band_scaled = band
+        self._factor_fn, self._solve_fn, self._fs_fn = _wrappers(w, clamp)
+        self.fband = None  # lazy: first solve fuses factor+solve
         self.P = op.P.astype(jnp.float32)
 
     def _solve32(self, rhs):
         hp = jax.lax.Precision.HIGHEST
         bp = self.s * jnp.matmul(self.P, rhs.astype(jnp.float32),
                                  precision=hp)
-        xp = self.s * self._solve_fn(self.fband, bp)
+        if self.fband is None:
+            self.fband, xp = self._fs_fn(self._band_scaled, bp)
+        else:
+            xp = self._solve_fn(self.fband, bp)
+        xp = self.s * xp
         return jnp.matmul(self.P.T, xp, precision=hp)
 
     def solve(self, rhs):
@@ -470,6 +670,8 @@ class FleetBandedFromBand:
         return x
 
     def inertia(self, tol: float = 0.0):
+        if self.fband is None:
+            self.fband = self._factor_fn(self._band_scaled)
         rt = jnp.result_type(self.op.band)
         d = self.fband[:, 0]
         mp = jnp.sum(d > tol).astype(rt)
