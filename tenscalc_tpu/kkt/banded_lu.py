@@ -305,6 +305,123 @@ def _lu_solve_kernel(nb8: int, npad: int, w: int, wpad2: int, tile: int,
     cp_x.wait()
 
 
+def _lu_factor_solve_kernel(nb8: int, npad: int, w: int, wpad2: int,
+                            tile: int, clamp: float, band_hbm, b_hbm,
+                            fband_hbm, x_hbm, Bv, xv, sem):
+    """Fused banded LU factor + ONE solve in a single launch (see
+    fleet_banded._factor_solve_kernel): the factor stays in VMEM for
+    the first substitution pair; the factored band is still written out
+    for the later refinement solves."""
+    i = jnp.int32(pl.program_id(0))
+    cp_in = pltpu.make_async_copy(
+        band_hbm.at[:, :, pl.ds(i * tile, tile)], Bv, sem
+    )
+    cp_in.start()
+    cp_in.wait()
+    cp_b = pltpu.make_async_copy(b_hbm.at[:, pl.ds(i * tile, tile)], xv, sem)
+    cp_b.start()
+    cp_b.wait()
+    win = _win(w)
+    wb = 2 * w + 1
+    pad_tail = wpad2 - wb
+
+    def _splice(V, j, new_row):
+        parts = []
+        if j > 0:
+            parts.append(V[:j])
+        parts.append(new_row)
+        if j + 1 < win:
+            parts.append(V[j + 1 :])
+        return jnp.concatenate(parts, axis=0)
+
+    def block(kb, _):
+        r0 = kb * 8
+        W = Bv[pl.ds(r0, win), :, :]
+        for j in range(8):
+            row = W[j : j + 1]
+            dj = row[:, 0:1, :]
+            if clamp > 0.0:
+                sgn = jnp.where(dj >= 0.0, jnp.ones_like(dj), -jnp.ones_like(dj))
+                dj = sgn * jnp.maximum(jnp.abs(dj), clamp)
+            l = row[:, 1 : w + 1, :] / dj
+            u = row[:, w + 1 : wb, :]
+            parts = [dj, l, u]
+            if pad_tail > 0:
+                parts.append(row[:, wb:, :])
+            W = _splice(W, j, jnp.concatenate(parts, axis=1))
+            for m in range(1, w + 1):
+                lm = l[:, m - 1 : m, :]
+                um = u[:, m - 1 : m, :]
+                lseg = jnp.concatenate(
+                    [l[:, m - 1 :, :], jnp.zeros((1, m, tile), jnp.float32)],
+                    axis=1,
+                )
+                if m < w:
+                    useg = jnp.concatenate(
+                        [u[:, m:, :], jnp.zeros((1, m, tile), jnp.float32)],
+                        axis=1,
+                    )
+                else:
+                    useg = jnp.zeros((1, w, tile), jnp.float32)
+                upd_parts = [lseg * um, useg * lm]
+                if pad_tail > 0:
+                    upd_parts.append(
+                        jnp.zeros((1, pad_tail, tile), jnp.float32)
+                    )
+                upd = jnp.concatenate(upd_parts, axis=1)
+                t = j + m
+                W = _splice(W, t, W[t : t + 1] - upd)
+        Bv[pl.ds(r0, win), :, :] = W
+        return jnp.int32(0)
+
+    lax.fori_loop(jnp.int32(0), jnp.int32(nb8), block, jnp.int32(0), unroll=False)
+    cp_out = pltpu.make_async_copy(
+        Bv, fband_hbm.at[:, :, pl.ds(i * tile, tile)], sem
+    )
+    cp_out.start()
+
+    def fwd(kb, _):
+        r0 = kb * 8
+        X = xv[pl.ds(r0, win), :]
+        B8 = Bv[pl.ds(r0, 8), :, :]
+        for j in range(8):
+            yc = X[j : j + 1]
+            Lcol = B8[j, 1 : w + 1, :]
+            X = jnp.concatenate(
+                [
+                    X[: j + 1],
+                    X[j + 1 : j + 1 + w] - Lcol * yc,
+                    X[j + 1 + w :],
+                ],
+                axis=0,
+            )
+        xv[pl.ds(r0, win), :] = X
+        return jnp.int32(0)
+
+    lax.fori_loop(jnp.int32(0), jnp.int32(nb8), fwd, jnp.int32(0), unroll=False)
+
+    def bwd(s_, _):
+        kb = nb8 - 1 - s_
+        r0 = kb * 8
+        X = xv[pl.ds(r0, win), :]
+        B8 = Bv[pl.ds(r0, 8), :, :]
+        for j in range(7, -1, -1):
+            Ucol = B8[j, w + 1 : 2 * w + 1, :]
+            dj = B8[j, 0:1, :]
+            acc = jnp.sum(Ucol * X[j + 1 : j + 1 + w], axis=0, keepdims=True)
+            newx = (X[j : j + 1] - acc) / dj
+            parts = ([X[:j]] if j > 0 else []) + [newx, X[j + 1 :]]
+            X = jnp.concatenate(parts, axis=0)
+        xv[pl.ds(r0, 8), :] = X[:8]
+        return jnp.int32(0)
+
+    lax.fori_loop(jnp.int32(0), jnp.int32(nb8), bwd, jnp.int32(0), unroll=False)
+    cp_out.wait()
+    cp_x = pltpu.make_async_copy(xv, x_hbm.at[:, pl.ds(i * tile, tile)], sem)
+    cp_x.start()
+    cp_x.wait()
+
+
 def _interpret() -> bool:
     try:
         return jax.default_backend() != "tpu"
@@ -342,6 +459,56 @@ def fleet_banded_lu_factor_batched(band: jax.Array, w: int, clamp: float = 0.0):
         interpret=_interpret(),
     )(bl)
     return jnp.transpose(out, (2, 0, 1))[:B, :n, : 2 * w + 1]
+
+
+@functools.partial(jax.jit, static_argnames=("w", "clamp"))
+def fleet_banded_lu_factor_solve_batched(band: jax.Array, b: jax.Array,
+                                         w: int, clamp: float = 0.0):
+    """Fused LU factor + one solve: band (B, n, 2w+1), b (B, n) ->
+    (factored band, x) in ONE kernel launch."""
+    B, n = b.shape
+    npad = _pad_rows2(n, w)
+    wpad2 = _pad_w2(w)
+    tile = TILE
+    Bpad = -(-B // tile) * tile
+    bp = jnp.zeros((Bpad, npad, wpad2), jnp.float32)
+    bp = bp.at[:, :, 0].set(1.0)
+    bp = bp.at[:B, :n, : 2 * w + 1].set(band.astype(jnp.float32))
+    bpv = jnp.zeros((Bpad, npad), jnp.float32).at[:B, :n].set(
+        b.astype(jnp.float32)
+    )
+    bl = jnp.transpose(bp, (1, 2, 0))
+    rl = jnp.transpose(bpv, (1, 0))
+
+    fband, x = pl.pallas_call(
+        functools.partial(
+            _lu_factor_solve_kernel, -(-n // 8), npad, w, wpad2, tile,
+            clamp,
+        ),
+        grid=(Bpad // tile,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((npad, wpad2, Bpad), jnp.float32),
+            jax.ShapeDtypeStruct((npad, Bpad), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((npad, wpad2, tile), jnp.float32),
+            pltpu.VMEM((npad, tile), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=_interpret(),
+    )(bl, rl)
+    return (
+        jnp.transpose(fband, (2, 0, 1))[:B, :n, : 2 * w + 1],
+        jnp.transpose(x, (1, 0))[:B, :n],
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("w",))
@@ -405,7 +572,25 @@ def _make_wrappers(w: int, clamp: float):
             b = jnp.broadcast_to(b, (axis_size,) + b.shape)
         return fleet_banded_lu_solve_batched(fband, b, w), True
 
-    return factor, solve
+    @jax.custom_batching.custom_vmap
+    def factor_solve(band, b):
+        fb, x = fleet_banded_lu_factor_solve_batched(
+            band[None], b[None], w, clamp=clamp
+        )
+        return fb[0], x[0]
+
+    @factor_solve.def_vmap
+    def _factor_solve_vmap(axis_size, in_batched, band, b):
+        bb, rb = in_batched
+        assert bb, "fleet_banded_lu factor_solve: band must be batched"
+        if not rb:
+            b = jnp.broadcast_to(b, (axis_size,) + b.shape)
+        fb, x = fleet_banded_lu_factor_solve_batched(
+            band, b, w, clamp=clamp
+        )
+        return (fb, x), (True, True)
+
+    return factor, solve, factor_solve
 
 
 _WRAPPERS: dict = {}
@@ -481,9 +666,9 @@ class FleetBandedLUFactorization:
         # uband[c,q] = Wp[c, c+q] -> r[c] * entry * c[c+q]
         uband = uband * r[:, None] * c_shift
         band = jnp.concatenate([lband, uband], axis=1)  # (n, 2w+1)
-        factor_fn, solve_fn = _wrappers(w, clamp)
-        self.fband = factor_fn(band)
-        self._solve_fn = solve_fn
+        self._band_scaled = band
+        self._factor_fn, self._solve_fn, self._fs_fn = _wrappers(w, clamp)
+        self.fband = None  # lazy: first solve fuses factor+solve
         self.P = P
 
     def _solve32(self, rhs):
@@ -494,7 +679,11 @@ class FleetBandedLUFactorization:
         hp = jax.lax.Precision.HIGHEST
         bp = self.r * jnp.matmul(self.P, rhs.astype(jnp.float32),
                                  precision=hp)
-        xp = self.c * self._solve_fn(self.fband, bp)
+        if self.fband is None:
+            self.fband, xp = self._fs_fn(self._band_scaled, bp)
+        else:
+            xp = self._solve_fn(self.fband, bp)
+        xp = self.c * xp
         return jnp.matmul(self.P.T, xp, precision=hp)
 
     def solve(self, rhs):
@@ -574,16 +763,20 @@ class FleetBandedLUFromBand:
         lband = lband * r_shift * cvec[:, None]
         uband = uband * r[:, None] * c_shift
         band = jnp.concatenate([lband, uband], axis=1)
-        factor_fn, solve_fn = _wrappers(w, clamp)
-        self.fband = factor_fn(band)
-        self._solve_fn = solve_fn
+        self._band_scaled = band
+        self._factor_fn, self._solve_fn, self._fs_fn = _wrappers(w, clamp)
+        self.fband = None  # lazy: first solve fuses factor+solve
         self.P = op.P.astype(jnp.float32)
 
     def _solve32(self, rhs):
         hp = jax.lax.Precision.HIGHEST
         bp = self.r * jnp.matmul(self.P, rhs.astype(jnp.float32),
                                  precision=hp)
-        xp = self.c * self._solve_fn(self.fband, bp)
+        if self.fband is None:
+            self.fband, xp = self._fs_fn(self._band_scaled, bp)
+        else:
+            xp = self._solve_fn(self.fband, bp)
+        xp = self.c * xp
         return jnp.matmul(self.P.T, xp, precision=hp)
 
     def solve(self, rhs):

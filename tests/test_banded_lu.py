@@ -105,7 +105,7 @@ def test_fleet_lu_vmap_wrappers(rng):
     As = np.stack([_random_banded_unsym(rng, n, w) for _ in range(B)])
     bands = jnp.asarray(np.stack([_band_of(A, w) for A in As]), jnp.float32)
     bs = jnp.asarray(rng.standard_normal((B, n)), jnp.float32)
-    factor_fn, solve_fn = _wrappers(w, 0.0)
+    factor_fn, solve_fn, fs_fn = _wrappers(w, 0.0)
     fb = jax.vmap(factor_fn)(bands)
     xs = jax.vmap(solve_fn)(fb, bs)
     for b in range(B):
@@ -114,3 +114,9 @@ def test_fleet_lu_vmap_wrappers(rng):
     # single-instance
     x0 = solve_fn(factor_fn(bands[0]), bs[0])
     np.testing.assert_allclose(np.asarray(x0), np.asarray(xs[0]), atol=1e-6)
+    # fused factor+solve == separate factor, solve (batched and single)
+    fb2, xs2 = jax.vmap(fs_fn)(bands, bs)
+    np.testing.assert_allclose(np.asarray(fb2), np.asarray(fb), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(xs2), np.asarray(xs), atol=1e-6)
+    fb0, x0f = fs_fn(bands[0], bs[0])
+    np.testing.assert_allclose(np.asarray(x0f), np.asarray(x0), atol=1e-6)
