@@ -616,6 +616,13 @@ def bench_mpc_long(T=256, B=256):
             band_bytes = nK * (w + 1) * TILE * 4
             rhs_bytes = nK * TILE * 4
             models = {
+                "factor_solve": {
+                    # fused launch: band in + factored band out + rhs
+                    # in + solution out (the first substitution pair
+                    # reads the factor from VMEM — no extra band read)
+                    "bytes": 2 * band_bytes + 2 * rhs_bytes,
+                    "flops": TILE * nK * ((w + 1) * (w + 2) + 4 * w + 1),
+                },
                 "factor": {
                     "bytes": 2 * band_bytes,
                     "flops": TILE * nK * (w + 1) * (w + 2),
@@ -627,7 +634,9 @@ def bench_mpc_long(T=256, B=256):
             }
             roof = {}
             for name, stats in kt.items():
-                if "factor" in name:
+                if "factor_solve" in name:
+                    kind = "factor_solve"
+                elif "factor" in name:
                     kind = "factor"
                 elif "solve" in name:
                     kind = "solve"
