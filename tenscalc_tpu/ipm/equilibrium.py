@@ -440,8 +440,28 @@ def build_equilibrium_ipm(fns: _EqFns, dims, opts: SolverOptions,
             def fz_mv(x):
                 return s_all * _hd(Fz_u, x)
 
+            # row-sum upper bound max_r sum_c |WW[r, c]| through the
+            # constituents (the f32 backward-error scale; the constant
+            # pieces are loop-invariant and XLA hoists them)
+            r1_ub = (
+                jnp.sum(jnp.abs(Sz_u), axis=1)
+                + jnp.sum(jnp.abs(Sn_u), axis=1)
+                + _hd(jnp.abs(Sl_u), s_all)
+                + jnp.abs(addE1)
+            )
+            r2_ub = (
+                jnp.sum(jnp.abs(Gz_u), axis=1) + jnp.abs(addE2)
+                if nGres else jnp.zeros((0,), dt)
+            )
+            r3_ub = (
+                s_all * jnp.sum(jnp.abs(Fz_u), axis=1) + jnp.abs(d3)
+            )
+            rowsum_ub = jnp.max(
+                jnp.concatenate([r1_ub, r2_ub, r3_ub])
+            )
             return dict(WW=op, sv=sv, Fv=Fv, Gv=Gv, Sl=None, Gz=None,
-                        Fz=None, LFF=None, fz_mv=fz_mv)
+                        Fz=None, LFF=None, fz_mv=fz_mv,
+                        rowsum_ub=rowsum_ub)
 
         Sz = pre.get("Sz")
         if Sz is None:
@@ -606,8 +626,15 @@ def build_equilibrium_ipm(fns: _EqFns, dims, opts: SolverOptions,
                 dZ_s = dxz[:nZ]
                 dLam = muF2 - lam - LFF @ dZ_s - Meh
             derr = _norminf(hdot(WWs, dxz) - b_s)
+            if jnp.dtype(dt) == jnp.float64:
+                bscale = jnp.ones((), dt)
+            else:
+                rs = jnp.max(jnp.sum(jnp.abs(WWs), axis=-1))
+                bscale = jnp.maximum(
+                    rs * _norminf(dxz) + _norminf(b_s), 1.0
+                )
             dx = jnp.concatenate([dxz, dLam])
-            return dx, mu_new, derr, sv, fz_mv(dx[:nZ]), Fv, Gv
+            return dx, mu_new, derr, sv, fz_mv(dx[:nZ]), Fv, Gv, bscale
 
         WW = a["WW"]
         fac = _factor(WW)
@@ -677,7 +704,21 @@ def build_equilibrium_ipm(fns: _EqFns, dims, opts: SolverOptions,
             b = jnp.concatenate([-sv, -Gv, -Fv - Meh + mu_new / lam])
             dx = fac.solve(b)
         derr = _norminf(wmv(dx) - b)
-        return dx, mu_new, derr, sv, fz_mv(dx[:nZ]), Fv, Gv
+        # f32 backward-error scale: the residual floor is
+        # ~eps32 * || |WW| |dx| ||, not the absolute 1e-6 the f64
+        # reference gate assumes — an absolute gate makes the adapt
+        # loop re-solve EVERY iteration on healthy systems (round-5
+        # trace: 2.2 directions/lockstep-iteration on the MPC-MHE
+        # fleet).  Same device as build_ipm's bscale (ipm/solver.py).
+        if jnp.dtype(dt) == jnp.float64:
+            bscale = jnp.ones((), dt)
+        else:
+            if band_mode:
+                rs = a["rowsum_ub"]
+            else:
+                rs = jnp.max(jnp.sum(jnp.abs(WW), axis=-1))
+            bscale = jnp.maximum(rs * _norminf(dx) + _norminf(b), 1.0)
+        return dx, mu_new, derr, sv, fz_mv(dx[:nZ]), Fv, Gv, bscale
 
     def solve(z0, penv, mu0=1.0, max_iter=None, addE10=1e-9,
               addE20=1e-9) -> IPMResult:
@@ -919,7 +960,8 @@ def build_equilibrium_ipm(fns: _EqFns, dims, opts: SolverOptions,
                 )
 
             if not (opts.addEye2Hessian and opts.adjustAddEye2Hessian):
-                dx, mu_aff, derr, sv, FzdZ, Fv, Gv = direction(addE2)
+                (dx, mu_aff, derr, sv, FzdZ, Fv, Gv,
+                 bscale) = direction(addE2)
                 addE2_next = addE2
             else:
                 # the reference driver's adjust loop
@@ -936,8 +978,10 @@ def build_equilibrium_ipm(fns: _EqFns, dims, opts: SolverOptions,
                 def adapt_cond(carry):
                     k, aE, res, derr_prev = carry
                     # NaN-safe: a NaN direction error must count as bad, or a
-                    # blown-up factorization escapes the recovery loop
-                    bad = ~(res[2] < _derr_tol(dt)) & (aE < ADDE_MAX)
+                    # blown-up factorization escapes the recovery loop.
+                    # The f32 gate is RELATIVE to the backward-error
+                    # scale res[7] (1.0 in f64 -> exact reference gate)
+                    bad = ~(res[2] < _derr_tol(dt) * res[7]) & (aE < ADDE_MAX)
                     # progress guard: only keep doubling addE2 while the
                     # re-solves actually reduce derr.  In f32 the
                     # factorization has an arithmetic floor (~1e-6 abs on
@@ -979,9 +1023,9 @@ def build_equilibrium_ipm(fns: _EqFns, dims, opts: SolverOptions,
                     (jnp.zeros((), jnp.int32), addE2, zeros,
                      jnp.asarray(jnp.inf, dt)),
                 )
-                dx, mu_aff, derr, sv, FzdZ, Fv, Gv = res
+                dx, mu_aff, derr, sv, FzdZ, Fv, Gv, bscale = res
                 addE2_next = jnp.where(
-                    (derr < _derr_tol(dt)) & (addE2 > ADDE_MIN),
+                    (derr < _derr_tol(dt) * bscale) & (addE2 > ADDE_MIN),
                     jnp.maximum(0.75 * addE2, ADDE_MIN),
                     addE2,
                 )

@@ -385,9 +385,25 @@ def build_minmax_ipm(fns, nUu, nD, nFu, nFd, nGu, nGd, opts: SolverOptions,
                 # fraction-to-boundary / line-search operator)
                 return s_all * _hd(Fz_all_u, x)
 
+            # row-sum upper bound through the constituents (f32
+            # backward-error scale; constant parts are loop-invariant)
+            absq = jnp.abs(q_sgn)
+            r1_ub = (
+                jnp.sum(jnp.abs(H_u), axis=1)
+                + jnp.abs(addU) * diagU + jnp.abs(addD) * diagD
+                + (jnp.sum(jnp.abs(Gz_u), axis=0) if nG else 0.0)
+                + _hd(absq, jnp.abs(Fz_all_u))
+            )
+            r2_ub = (
+                jnp.sum(jnp.abs(Gz_u), axis=1) + jnp.abs(addEq)
+                if nG else jnp.zeros((0,), dt)
+            )
+            r3_ub = absq * jnp.sum(jnp.abs(Fz_all_u), axis=1) + jnp.abs(d3)
+            rowsum_ub = jnp.max(jnp.concatenate([r1_ub, r2_ub, r3_ub]))
             return dict(
                 WW=op, WWUD=None, grad_z=grad_z, Gz=Gz_u, Fuz=None,
                 Fdz=None, Fuv=Fuv, Fdv=Fdv, Gv=Gv, fz_mv=fz_mv,
+                rowsum_ub=rowsum_ub,
             )
 
         H = pre.get("H")
@@ -505,6 +521,17 @@ def build_minmax_ipm(fns, nUu, nD, nFu, nFd, nGu, nGd, opts: SolverOptions,
             derr = _norminf(WW.matvec(dx) - b)
         else:
             derr = _norminf(hdot(WW, dx) - b)
+        # f32 backward-error scale (see equilibrium.py: an absolute f32
+        # gate makes the adapt loop re-solve healthy systems)
+        if jnp.dtype(dt) == jnp.float64:
+            bscale = jnp.ones((), dt)
+        else:
+            rs = (
+                a["rowsum_ub"]
+                if band_mode
+                else jnp.max(jnp.sum(jnp.abs(WW), axis=-1))
+            )
+            bscale = jnp.maximum(rs * _norminf(dx) + _norminf(b), 1.0)
         if need_inertia:
             # full-matrix inertia (getHessUinertia__) from the WW factor
             from ..kkt.dense import ldl_inertia
@@ -580,7 +607,7 @@ def build_minmax_ipm(fns, nUu, nD, nFu, nFd, nGu, nGd, opts: SolverOptions,
         return (
             dx, derr, mpU, mnD, grad_z,
             fz_mv(dx[:nZ]),
-            jnp.concatenate([Fuv, Fdv]), Gv,
+            jnp.concatenate([Fuv, Fdv]), Gv, bscale,
         )
 
     def solve(z0, penv, mu0=1.0, max_iter=None, addU0=1e-9, addD0=1e-9,
@@ -861,9 +888,8 @@ def build_minmax_ipm(fns, nUu, nD, nFu, nFd, nGu, nGd, opts: SolverOptions,
                 )
 
             if not adj:
-                dx, derr, mpU, mnD, grad_z, FzdZ, Fv, Gv = direction(
-                    addU, addD, addEq
-                )
+                (dx, derr, mpU, mnD, grad_z, FzdZ, Fv, Gv,
+                 bscale) = direction(addU, addD, addEq)
                 addU_next, addD_next, addEq_next = addU, addD, addEq
             else:
                 # full reference adaptation (ipmPDminmax_CSsolver.m:
@@ -883,15 +909,18 @@ def build_minmax_ipm(fns, nUu, nD, nFu, nFd, nGu, nGd, opts: SolverOptions,
 
                 def flags(res, aU, aD, aE):
                     derr, mpU, mnD = res[1], res[2], res[3]
+                    # f32 gate relative to the backward-error scale
+                    # res[8] (1.0 in f64 -> exact reference gate)
+                    gate = _derr_tol(dt) * res[8]
                     good = (
                         (mpU == mp_desired)
                         & (mnD == mn_desired)
-                        & (derr <= _derr_tol(dt))
+                        & (derr <= gate)
                     )
                     incU = (mpU < mp_desired) & (aU < ADD_MAX)
                     incD = (mnD < mn_desired) & (aD < ADD_MAX)
                     # NaN-safe: NaN derr counts as too large
-                    incE = ~(derr <= _derr_tol(dt)) & (aE < ADD_MAX)
+                    incE = ~(derr <= gate) & (aE < ADD_MAX)
                     return good, incU, incD, incE
 
                 def adapt_cond(carry):
@@ -946,7 +975,7 @@ def build_minmax_ipm(fns, nUu, nD, nFu, nFd, nGu, nGd, opts: SolverOptions,
                     (jnp.zeros((), jnp.int32), addU, addD, addEq, zeros,
                      jnp.asarray(jnp.inf, dt)),
                 )
-                dx, derr, mpU, mnD, grad_z, FzdZ, Fv, Gv = res
+                dx, derr, mpU, mnD, grad_z, FzdZ, Fv, Gv, bscale = res
                 # delayed decrease once all checks pass (next iteration)
                 good, _, _, _ = flags(res, addU, addD, addEq)
 
