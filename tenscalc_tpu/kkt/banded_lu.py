@@ -33,7 +33,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .fleet_banded import TILE, _pad_w, _win
+from .fleet_banded import TILE, _pack_band, _pack_vec, _pad_w, _win
 from .structure import BandedPlan
 from .dense import hdot
 
@@ -439,10 +439,7 @@ def fleet_banded_lu_factor_batched(band: jax.Array, w: int, clamp: float = 0.0):
     wpad2 = _pad_w2(w)
     tile = TILE
     Bpad = -(-B // tile) * tile
-    bp = jnp.zeros((Bpad, npad, wpad2), jnp.float32)
-    bp = bp.at[:, :, 0].set(1.0)  # identity padding rows
-    bp = bp.at[:B, :n, : 2 * w + 1].set(band.astype(jnp.float32))
-    bl = jnp.transpose(bp, (1, 2, 0))
+    bl = _pack_band(band, 2 * w + 1, npad, wpad2, Bpad)
 
     out = pl.pallas_call(
         functools.partial(
@@ -471,14 +468,8 @@ def fleet_banded_lu_factor_solve_batched(band: jax.Array, b: jax.Array,
     wpad2 = _pad_w2(w)
     tile = TILE
     Bpad = -(-B // tile) * tile
-    bp = jnp.zeros((Bpad, npad, wpad2), jnp.float32)
-    bp = bp.at[:, :, 0].set(1.0)
-    bp = bp.at[:B, :n, : 2 * w + 1].set(band.astype(jnp.float32))
-    bpv = jnp.zeros((Bpad, npad), jnp.float32).at[:B, :n].set(
-        b.astype(jnp.float32)
-    )
-    bl = jnp.transpose(bp, (1, 2, 0))
-    rl = jnp.transpose(bpv, (1, 0))
+    bl = _pack_band(band, 2 * w + 1, npad, wpad2, Bpad)
+    rl = _pack_vec(b, npad, Bpad)
 
     fband, x = pl.pallas_call(
         functools.partial(
@@ -519,14 +510,8 @@ def fleet_banded_lu_solve_batched(fband: jax.Array, b: jax.Array, w: int):
     wpad2 = _pad_w2(w)
     tile = TILE
     Bpad = -(-B // tile) * tile
-    fp = jnp.zeros((Bpad, npad, wpad2), jnp.float32)
-    fp = fp.at[:, :, 0].set(1.0)
-    fp = fp.at[:B, :n, : 2 * w + 1].set(fband.astype(jnp.float32))
-    bpv = jnp.zeros((Bpad, npad), jnp.float32).at[:B, :n].set(
-        b.astype(jnp.float32)
-    )
-    fl = jnp.transpose(fp, (1, 2, 0))
-    bl = jnp.transpose(bpv, (1, 0))
+    fl = _pack_band(fband, 2 * w + 1, npad, wpad2, Bpad)
+    bl = _pack_vec(b, npad, Bpad)
 
     x = pl.pallas_call(
         functools.partial(

@@ -307,6 +307,49 @@ def _interpret() -> bool:
         return True
 
 
+def _pack_band(band: jax.Array, wb: int, npad: int, wpad: int,
+               Bpad: int) -> jax.Array:
+    """(B, n, wb) band -> kernel layout (npad, wpad, Bpad) with
+    identity (d=1) padding rows/lanes.
+
+    Transpose FIRST (on the unpadded tensor), then pad with concats of
+    broadcasts: the previous zeros + two .at[].set writes lowered to
+    full-tensor dynamic-update-slices costing ~0.44 ms per direction at
+    (1024, 328, 24) f32 (round-5 mpcmhe trace)."""
+    B, n = band.shape[0], band.shape[1]
+    bt = jnp.transpose(band.astype(jnp.float32), (1, 2, 0))  # (n, wb, B)
+    if wpad > wb:
+        bt = jnp.concatenate(
+            [bt, jnp.zeros((n, wpad - wb, B), jnp.float32)], axis=1
+        )
+    idrow = jnp.zeros((wpad, 1), jnp.float32).at[0, 0].set(1.0)
+    if npad > n:
+        bt = jnp.concatenate(
+            [bt, jnp.broadcast_to(idrow, (npad - n, wpad, B))], axis=0
+        )
+    if Bpad > B:
+        bt = jnp.concatenate(
+            [bt, jnp.broadcast_to(idrow, (npad, wpad, Bpad - B))],
+            axis=2,
+        )
+    return bt
+
+
+def _pack_vec(b: jax.Array, npad: int, Bpad: int) -> jax.Array:
+    """(B, n) rhs -> kernel layout (npad, Bpad), zero padding."""
+    B, n = b.shape
+    bt = jnp.transpose(b.astype(jnp.float32), (1, 0))
+    if npad > n:
+        bt = jnp.concatenate(
+            [bt, jnp.zeros((npad - n, B), jnp.float32)], axis=0
+        )
+    if Bpad > B:
+        bt = jnp.concatenate(
+            [bt, jnp.zeros((npad, Bpad - B), jnp.float32)], axis=1
+        )
+    return bt
+
+
 @functools.partial(jax.jit, static_argnames=("w", "clamp"))
 def fleet_banded_factor_batched(band: jax.Array, w: int, clamp: float = 0.0):
     """Banded LDL of a batch: band (B, n, w+1) f32 (lower band rows) ->
@@ -316,10 +359,7 @@ def fleet_banded_factor_batched(band: jax.Array, w: int, clamp: float = 0.0):
     wpad = _pad_w(w)
     tile = TILE
     Bpad = -(-B // tile) * tile
-    bp = jnp.zeros((Bpad, npad, wpad), jnp.float32)
-    bp = bp.at[:, :, 0].set(1.0)  # identity padding rows
-    bp = bp.at[:B, :n, : w + 1].set(band.astype(jnp.float32))
-    bl = jnp.transpose(bp, (1, 2, 0))                  # (npad, wpad, Bpad)
+    bl = _pack_band(band, w + 1, npad, wpad, Bpad)     # (npad, wpad, Bpad)
 
     out = pl.pallas_call(
         functools.partial(
@@ -348,14 +388,8 @@ def fleet_banded_factor_solve_batched(band: jax.Array, b: jax.Array,
     wpad = _pad_w(w)
     tile = TILE
     Bpad = -(-B // tile) * tile
-    bp = jnp.zeros((Bpad, npad, wpad), jnp.float32)
-    bp = bp.at[:, :, 0].set(1.0)
-    bp = bp.at[:B, :n, : w + 1].set(band.astype(jnp.float32))
-    bpv = jnp.zeros((Bpad, npad), jnp.float32).at[:B, :n].set(
-        b.astype(jnp.float32)
-    )
-    bl = jnp.transpose(bp, (1, 2, 0))
-    rl = jnp.transpose(bpv, (1, 0))
+    bl = _pack_band(band, w + 1, npad, wpad, Bpad)
+    rl = _pack_vec(b, npad, Bpad)
 
     fband, x = pl.pallas_call(
         functools.partial(
@@ -396,14 +430,8 @@ def fleet_banded_solve_batched(fband: jax.Array, b: jax.Array, w: int):
     wpad = _pad_w(w)
     tile = TILE
     Bpad = -(-B // tile) * tile
-    fp = jnp.zeros((Bpad, npad, wpad), jnp.float32)
-    fp = fp.at[:, :, 0].set(1.0)
-    fp = fp.at[:B, :n, : w + 1].set(fband.astype(jnp.float32))
-    bpv = jnp.zeros((Bpad, npad), jnp.float32).at[:B, :n].set(
-        b.astype(jnp.float32)
-    )
-    fl = jnp.transpose(fp, (1, 2, 0))
-    bl = jnp.transpose(bpv, (1, 0))
+    fl = _pack_band(fband, w + 1, npad, wpad, Bpad)
+    bl = _pack_vec(b, npad, Bpad)
 
     x = pl.pallas_call(
         functools.partial(
