@@ -315,6 +315,30 @@ def _fleet_solve_vmap(axis_size, in_batched, L, d, b):
     return fleet_ldl_solve_batched(L, d, b), True
 
 
+@jax.custom_batching.custom_vmap
+def fleet_ldl_factor_solve(A: jax.Array, b: jax.Array):
+    """Fused factor + one solve: unbatched on real TPU this is ONE
+    Mosaic launch (pallas_ldl._factor_solve_kernel) — one dispatch
+    fewer per iteration on the latency-bound single-instance path."""
+    if _pallas_single_ok(A.shape[-1]):
+        from .pallas_ldl import pallas_ldl_factor_solve
+
+        return pallas_ldl_factor_solve(A, b, clamp=1e-7)
+    L, d = ldl_factor(A, clamp=1e-7)
+    return L, d, ldl_solve(L, d, b)
+
+
+@fleet_ldl_factor_solve.def_vmap
+def _fleet_factor_solve_vmap(axis_size, in_batched, A, b):
+    ab, bb = in_batched
+    assert ab, "fleet_ldl_factor_solve: operand must be batched"
+    if not bb:
+        b = jnp.broadcast_to(b, (axis_size,) + b.shape)
+    L, d = fleet_ldl_factor_batched(A, clamp=1e-7)
+    x = fleet_ldl_solve_batched(L, d, b)
+    return (L, d, x), (True, True, True)
+
+
 class FleetLDLFactorization:
     """KKT-backend adapter (same contract as kkt/dense.py): f32 fleet
     factor + refinement against the true matrix; inertia from d.
@@ -332,11 +356,15 @@ class FleetLDLFactorization:
         W32 = WW.astype(jnp.float32)
         s = lax.rsqrt(jnp.maximum(jnp.max(jnp.abs(W32), axis=-1), 1e-30))
         self.s = s
-        Ws = s[:, None] * W32 * s[None, :]
-        self.L, self.d = fleet_ldl_factor(Ws)
+        self._Ws = s[:, None] * W32 * s[None, :]
+        self.L = self.d = None  # lazy: first solve fuses factor+solve
 
     def _solve32(self, rhs):
-        y = fleet_ldl_solve(self.L, self.d, self.s * rhs.astype(jnp.float32))
+        bs = self.s * rhs.astype(jnp.float32)
+        if self.L is None:
+            self.L, self.d, y = fleet_ldl_factor_solve(self._Ws, bs)
+        else:
+            y = fleet_ldl_solve(self.L, self.d, bs)
         return self.s * y
 
     def solve(self, rhs):
@@ -353,6 +381,8 @@ class FleetLDLFactorization:
         return x
 
     def inertia(self, tol: float = 0.0):
+        if self.d is None:
+            self.L, self.d = fleet_ldl_factor(self._Ws)
         rt = jnp.result_type(self.WW)
         mp = jnp.sum(self.d > tol).astype(rt)
         mn = jnp.sum(self.d < -tol).astype(rt)

@@ -137,6 +137,16 @@ def _solve_kernel(n: int, n_steps: int, Lt_ref, d_ref, b_ref, x_ref, y):
     x_ref[:] = y[:]
 
 
+def _factor_solve_kernel(nb: int, clamp: float, n_steps: int, A_ref,
+                         b_ref, Lt_ref, d_ref, x_ref, M, y):
+    """Fused LDL factor + one solve in a single launch (the factor
+    stays in VMEM for the substitutions — one kernel dispatch fewer
+    per IPM iteration on the latency-bound single-instance path)."""
+    _ldl_kernel(nb, clamp, n_steps, A_ref, Lt_ref, d_ref, M)
+    n = nb * BS
+    _solve_kernel(n, n_steps, Lt_ref, d_ref, b_ref, x_ref, y)
+
+
 def _pad_to_blocks(A):
     n = A.shape[-1]
     nb = -(-n // BS)
@@ -168,6 +178,40 @@ def pallas_ldl_factor(A, interpret: bool = False, clamp: float = 0.0):
         interpret=interpret,
     )(Ap)
     return Lt[:n, :n], d[0, :n]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "clamp"))
+def pallas_ldl_factor_solve(A, b, interpret: bool = False,
+                            clamp: float = 0.0):
+    """Fused LDL^T factor + one solve: returns (Lt, d, x)."""
+    Ap, n, nb = _pad_to_blocks(A)
+    npad = nb * BS
+    bp = jnp.zeros((1, npad), jnp.float32).at[0, :n].set(
+        b.astype(jnp.float32)
+    )
+    Lt, d, x = pl.pallas_call(
+        functools.partial(_factor_solve_kernel, nb, clamp, n),
+        out_shape=(
+            jax.ShapeDtypeStruct((npad, npad), jnp.float32),
+            jax.ShapeDtypeStruct((1, npad), jnp.float32),
+            jax.ShapeDtypeStruct((1, npad), jnp.float32),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((npad, npad), jnp.float32),
+            pltpu.VMEM((1, npad), jnp.float32),
+        ],
+        interpret=interpret,
+    )(Ap, bp)
+    return Lt[:n, :n], d[0, :n], x[0, :n]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
