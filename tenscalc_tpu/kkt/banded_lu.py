@@ -17,9 +17,10 @@ same two structured backends exist as for the symmetric case:
   fori_loop blocks with static inner unroll, concat-splices instead of
   scatters), extended to carry the superdiagonal band: storage row c is
   ``[d_c, L[c+1..c+w, c], U[c, c+1..c+w]]`` and the elimination updates
-  both triangles.  No pivoting; robustness = Jacobi equilibration +
-  Cheng-Higham pivot clamping + iterative refinement against the true
-  matrix, with the IPM's addEye2Hessian adaptation as the outer net.
+  both triangles.  No pivoting; robustness = two-sided row/col inf-norm
+  equilibration + Cheng-Higham pivot clamping + iterative refinement
+  against the true matrix, with the IPM's addEye2Hessian adaptation as
+  the outer net.
 """
 
 from __future__ import annotations

@@ -21,10 +21,11 @@ Layout and Mosaic constraints (same playbook as kkt/fleet.py):
   never indexes lanes dynamically.
 
 Robustness contract matches kkt/fleet.py: no pivoting; Cheng-Higham
-pivot clamping + Jacobi equilibration (applied by the adapter below) +
-iterative refinement against the true matrix, with the IPM's
-addEye2Hessian adaptation as the outer safety net
-(lib/ipmPD_CSsolver.c:393-548).
+pivot clamping + symmetric row-inf-norm equilibration (applied by the
+adapters below — see _sym_equilibration for why the diagonal Jacobi
+scale fails on indefinite KKTs) + iterative refinement against the
+true matrix, with the IPM's addEye2Hessian adaptation as the outer
+safety net (lib/ipmPD_CSsolver.c:393-548).
 """
 
 from __future__ import annotations
@@ -542,8 +543,9 @@ class FleetBandedFactorization:
        one-hot permutation matmuls (MXU) + a stride-trick reshape that
        peels the w+1 sub-diagonals (batched 2-D gathers of the dense WW
        measured ~26 ms/iter at B=1024 — 88% of the IPM iteration);
-    2. Jacobi equilibration s = 1/sqrt(|diag|) (compresses the pivot
-       dynamic range so the unpivoted f32 elimination stays accurate);
+    2. symmetric row-inf-norm equilibration s = rsqrt(max_j |W_rj|)
+       (compresses the pivot dynamic range so the unpivoted f32
+       elimination stays accurate — see _sym_equilibration);
     3. fleet banded LDL (Pallas, batch in lanes);
     4. solves run in f32 through the band, refined ``n_refine`` times
        against the true (unpermuted, unscaled) matrix.
