@@ -141,3 +141,28 @@ def test_equilibrium_backends_agree(monkeypatch):
         sol_f.variables["gef_uFuture"], sol_d.variables["ged_uFuture"],
         atol=2e-3,
     )
+
+
+def test_game_solvers_f32_relative_gate(monkeypatch):
+    """f32 game solves exercise the RELATIVE direction-error gate
+    (round 5: the absolute 1e-6 gate re-solved every iteration on
+    healthy systems and could ratchet addE2 for nothing).  Guards that
+    the f32 path converges on both game classes with the dense and the
+    structured backends."""
+    monkeypatch.setenv("TENSCALC_AUTO_FLEET", "0")
+    # minmax chain in f32
+    tc.expr.clear_variables()
+    s_mm = _build_minmax_chain("g32m_", n=24, dtype="float32")
+    sol_mm = _minmax_solve(s_mm, "g32m_", n=24)
+    assert sol_mm.status == 0, sol_mm.describe()
+    # f64 oracle agreement (loose: f32 iterates)
+    tc.expr.clear_variables()
+    s_64 = _build_minmax_chain("g64m_", n=24, kkt_backend="dense")
+    sol_64 = _minmax_solve(s_64, "g64m_", n=24)
+    np.testing.assert_allclose(
+        sol_mm.variables["g32m_u"], sol_64.variables["g64m_u"], atol=5e-3
+    )
+    # MPC-MHE equilibrium in f32 on the structured LU backend
+    s_eq, sol_eq = _mpcmhe_once("g32e_", "0", monkeypatch, dtype="float32")
+    assert s_eq.kkt_backend_resolved == "tridiag_lu"
+    assert sol_eq.status == 0, sol_eq.describe()
